@@ -1,0 +1,102 @@
+"""Scene assembly: cameras + model init + multi-view neighbor graph.
+
+Mirrors scene/__init__.py:25-148: loads the COLMAP scene, builds the
+train/test camera datasets, computes the multi-view neighbor graph (pairwise
+camera distance + center-ray angle filtering, :82-130), and initializes the
+Gaussian state from the point cloud (with optional skybox).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hidegs_tpu.data.cameras import CameraDataset, CameraInfo
+from hidegs_tpu.data.readers import SceneInfo, load_colmap_scene
+
+
+def multi_view_neighbors(
+    infos: List[CameraInfo],
+    num_neighbors: int = 8,
+    max_angle_deg: float = 30.0,
+    min_dis: float = 0.01,
+    max_dis: float = 1.5,
+    scene_radius: float = 1.0,
+) -> Dict[int, List[int]]:
+    """Per-camera nearest-neighbor views (scene/__init__.py:82-130).
+
+    Distance thresholds are relative to scene radius; angle is between the
+    cameras' principal (+z) rays. Returns {camera index: [neighbor indices]}.
+    """
+    n = len(infos)
+    if n == 0:
+        return {}
+    centers = np.stack([-info.R.T @ info.t for info in infos])  # (n, 3)
+    fwd = np.stack([info.R[2] for info in infos])  # camera +z in world
+    d = np.linalg.norm(centers[:, None] - centers[None, :], axis=-1)  # (n, n)
+    cosang = np.clip(np.einsum("id,jd->ij", fwd, fwd), -1.0, 1.0)
+    ang = np.degrees(np.arccos(cosang))
+
+    rel_d = d / max(scene_radius, 1e-8)
+    ok = (ang < max_angle_deg) & (rel_d > min_dis) & (rel_d < max_dis)
+    np.fill_diagonal(ok, False)
+
+    graph = {}
+    for i in range(n):
+        cand = np.where(ok[i])[0]
+        order = cand[np.argsort(d[i, cand])]
+        graph[i] = order[:num_neighbors].tolist()
+    return graph
+
+
+@dataclass
+class Scene:
+    """Loaded scene: camera datasets + init point cloud + neighbor graph."""
+
+    info: SceneInfo
+    train_cameras: CameraDataset
+    test_cameras: CameraDataset
+    neighbors: Dict[int, List[int]] = field(default_factory=dict)
+
+    @property
+    def extent(self) -> float:
+        return self.info.nerf_norm_radius
+
+    def save_multi_view_json(self, path: str):
+        with open(path, "w") as f:
+            json.dump(
+                {self.train_cameras.infos[k].image_name: v for k, v in self.neighbors.items()},
+                f,
+            )
+
+
+def load_scene(
+    source_path: str,
+    images: str = "images",
+    depths: str = "",
+    eval_split: bool = False,
+    resolution: int = -1,
+    multi_view_num: int = 8,
+    multi_view_max_angle: float = 30.0,
+    multi_view_min_dis: float = 0.01,
+    multi_view_max_dis: float = 1.5,
+    cache_all: bool = False,
+) -> Scene:
+    info = load_colmap_scene(source_path, images=images, depths=depths, eval_split=eval_split)
+    graph = multi_view_neighbors(
+        info.train_cameras,
+        num_neighbors=multi_view_num,
+        max_angle_deg=multi_view_max_angle,
+        min_dis=multi_view_min_dis,
+        max_dis=multi_view_max_dis,
+        scene_radius=info.nerf_norm_radius,
+    )
+    return Scene(
+        info=info,
+        train_cameras=CameraDataset(info.train_cameras, resolution, cache_all=cache_all),
+        test_cameras=CameraDataset(info.test_cameras, resolution, cache_all=cache_all),
+        neighbors=graph,
+    )

@@ -1,0 +1,181 @@
+"""Gaussian model state: capacity-padded parameter pytree + alive mask.
+
+TPU-native re-design of the reference's `GaussianModel`
+(scene/gaussian_model.py:30-148,196-287): instead of torch tensors that grow/
+shrink under densification (with optimizer tensor surgery,
+gaussian_model.py:560-631), all buffers are allocated once at `capacity`
+(mirroring `max_all_points`, arguments/__init__.py:121) with an `alive` mask.
+Densify/prune become masked writes at static shapes → zero recompiles.
+
+Activations match the reference: scaling=exp, opacity=sigmoid (|x| in
+hierarchy mode), rotation=normalize; xyz and SH are raw.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hidegs_tpu.core.sh import NUM_SH_COEFFS, rgb_to_sh_dc
+from hidegs_tpu.core.transforms import inverse_sigmoid, normalize
+
+
+class GaussianParams(NamedTuple):
+    """The optimizable leaves (each (C, ...) where C = capacity)."""
+
+    xyz: jnp.ndarray  # (C, 3)
+    sh_dc: jnp.ndarray  # (C, 3)        DC color coefficients
+    sh_rest: jnp.ndarray  # (C, 15, 3)  higher SH bands
+    scaling: jnp.ndarray  # (C, 3)      log-scale
+    rotation: jnp.ndarray  # (C, 4)     unnormalized quaternion wxyz
+    opacity: jnp.ndarray  # (C,)        logit opacity
+
+
+class GaussianState(NamedTuple):
+    """Full (non-optimizer) model state carried through training."""
+
+    params: GaussianParams
+    alive: jnp.ndarray  # (C,) bool
+    # Densification statistics (gaussian_model.py:59-63): running MAX of the
+    # screenspace positional gradient norm and its abs variant, plus max radii.
+    grad_max: jnp.ndarray  # (C,)
+    grad_abs_max: jnp.ndarray  # (C,)
+    max_radii2d: jnp.ndarray  # (C,)
+    # Flags: skybox/scaffold points are protected from pruning/opacity reset
+    # (gaussian_model.py:542-546, 735-761).
+    protected: jnp.ndarray  # (C,) bool
+    active_sh_degree: jnp.ndarray  # () int32
+    spatial_lr_scale: jnp.ndarray  # () float
+
+    @property
+    def capacity(self) -> int:
+        return self.params.xyz.shape[0]
+
+    @property
+    def num_alive(self) -> jnp.ndarray:
+        return self.alive.sum()
+
+    # --- activations ---------------------------------------------------
+    @property
+    def scales(self) -> jnp.ndarray:
+        return jnp.exp(self.params.scaling)
+
+    @property
+    def quats(self) -> jnp.ndarray:
+        return normalize(self.params.rotation)
+
+    @property
+    def opacities(self) -> jnp.ndarray:
+        o = jax.nn.sigmoid(self.params.opacity)
+        return jnp.where(self.alive, o, 0.0)
+
+    @property
+    def shs(self) -> jnp.ndarray:
+        """(C, 16, 3) full SH tensor."""
+        return jnp.concatenate([self.params.sh_dc[:, None, :], self.params.sh_rest], axis=1)
+
+
+def init_from_points(
+    points: jnp.ndarray,
+    colors: jnp.ndarray,
+    capacity: int,
+    spatial_lr_scale: float = 1.0,
+    init_opacity: float = 0.1,
+    knn_scale: Optional[jnp.ndarray] = None,
+    protected_mask: Optional[jnp.ndarray] = None,
+) -> GaussianState:
+    """Create state from a point cloud (create_from_pcd, gaussian_model.py:175-233).
+
+    points (N,3), colors (N,3) in [0,1]; N ≤ capacity. Initial scale is the
+    sqrt of the mean squared distance to the 3 nearest neighbors (isotropic),
+    passed in via `knn_scale` (see model/knn.py) or derived from a global
+    heuristic when None.
+    """
+    n = points.shape[0]
+    if n > capacity:
+        raise ValueError(f"{n} points exceed capacity {capacity}")
+    C = capacity
+
+    if knn_scale is None:
+        # fallback: uniform density heuristic — extent / cbrt(N)
+        extent = jnp.max(jnp.ptp(points, axis=0))
+        knn_scale = jnp.full((n,), jnp.maximum(extent / jnp.cbrt(float(n)), 1e-4))
+    dist = jnp.maximum(knn_scale, 1e-7)
+
+    def pad(x, fill=0.0):
+        shape = (C,) + x.shape[1:]
+        out = jnp.full(shape, fill, dtype=jnp.float32)
+        return out.at[:n].set(x.astype(jnp.float32))
+
+    params = GaussianParams(
+        xyz=pad(points),
+        sh_dc=pad(rgb_to_sh_dc(colors)),
+        sh_rest=jnp.zeros((C, NUM_SH_COEFFS - 1, 3), jnp.float32),
+        scaling=pad(jnp.log(dist)[:, None].repeat(3, axis=1), fill=-10.0),
+        rotation=jnp.zeros((C, 4), jnp.float32).at[:, 0].set(1.0),
+        opacity=pad(
+            jnp.full((n,), float(inverse_sigmoid(jnp.asarray(init_opacity)))),
+            fill=-10.0,
+        ),
+    )
+    from hidegs_tpu.utils.buffers import fresh_zeros
+
+    alive = jnp.zeros((C,), bool).at[:n].set(True)
+    protected = fresh_zeros((C,), bool)
+    if protected_mask is not None:
+        protected = protected.at[:n].set(protected_mask)
+    # fresh_zeros: stat buffers must not alias each other (donated states).
+    return GaussianState(
+        params=params,
+        alive=alive,
+        grad_max=fresh_zeros((C,), jnp.float32),
+        grad_abs_max=fresh_zeros((C,), jnp.float32),
+        max_radii2d=fresh_zeros((C,), jnp.float32),
+        protected=protected,
+        active_sh_degree=jnp.int32(0),
+        spatial_lr_scale=jnp.float32(spatial_lr_scale),
+    )
+
+
+def make_skybox(
+    num_points: int,
+    scene_center: np.ndarray,
+    scene_radius: float,
+    seed: int = 0,
+):
+    """Skybox shell: random sphere at 10x scene radius, sky-tinted
+    (gaussian_model.py:196-211). Returns (points, colors) numpy arrays."""
+    rng = np.random.RandomState(seed)
+    theta = 2.0 * np.pi * rng.rand(num_points)
+    # bias toward the upper hemisphere like the reference (sky above)
+    phi = np.arccos(1.0 - 1.4 * rng.rand(num_points))
+    r = 10.0 * scene_radius
+    pts = np.stack(
+        [
+            r * np.sin(phi) * np.cos(theta),
+            -r * np.cos(phi),  # world -y is up in COLMAP convention
+            r * np.sin(phi) * np.sin(theta),
+        ],
+        axis=-1,
+    ) + np.asarray(scene_center)[None]
+    colors = np.tile(np.array([[0.7, 0.8, 0.95]]), (num_points, 1))
+    return pts.astype(np.float32), colors.astype(np.float32)
+
+
+def oneup_sh_degree(state: GaussianState, max_degree: int = 3) -> GaussianState:
+    """SH warm-up schedule (gaussian_model.py:168-170)."""
+    return state._replace(
+        active_sh_degree=jnp.minimum(state.active_sh_degree + 1, max_degree)
+    )
+
+
+def reset_opacity(state: GaussianState, max_opacity: float = 0.01) -> GaussianState:
+    """Clamp opacity to ≤ max (reset_opacity, gaussian_model.py:542-546);
+    protected (skybox) points are exempt."""
+    new_logit = jnp.minimum(
+        state.params.opacity, inverse_sigmoid(jnp.asarray(max_opacity))
+    )
+    opac = jnp.where(state.protected, state.params.opacity, new_logit)
+    return state._replace(params=state.params._replace(opacity=opac))

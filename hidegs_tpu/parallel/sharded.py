@@ -1,0 +1,118 @@
+"""View-parallel (data-parallel) multi-chip training step.
+
+Design (SURVEY §2.4 "TPU-native equivalent"): training cameras are sharded
+across chips — each device renders/differentiates its own view of the same
+replicated Gaussian state; the mean over the view axis makes XLA insert the
+gradient all-reduce over ICI (GSPMD), overlapped with the backward pass. The
+masked sparse-Adam semantics generalize to "visible in ANY of the step's
+views".
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hidegs_tpu.model.adam import masked_adam_update
+from hidegs_tpu.model.densify import add_densification_stats
+from hidegs_tpu.model.schedules import expon_lr, lr_tree
+from hidegs_tpu.train.loop import TrainConfig, TrainState, ViewBatch, compute_losses
+
+
+def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, use_exposure: bool = False):
+    """Build a jitted view-parallel step. `batch` is a ViewBatch whose leaves
+    carry a leading view axis V (= mesh 'data' size). Returns
+    (step(ts, batch) → (ts, metrics), place(ts, batch) → sharded copies)."""
+
+    repl = NamedSharding(mesh, P())
+    shard_view = NamedSharding(mesh, P("data"))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(ts: TrainState, batch: ViewBatch) -> Tuple[TrainState, dict]:
+        V = batch.image.shape[0]
+        C = ts.gaussians.capacity
+        rng, sub = jax.random.split(ts.rng)
+        view_rngs = jax.random.split(sub, V)
+        offsets = jnp.zeros((V, C, 2), jnp.float32)
+
+        def loss_mean(params, exposure, offs):
+            def one(off, b, r):
+                g = ts.gaussians._replace(params=params)
+                return compute_losses(g, exposure, b, ts.step, r, cfg, off, use_exposure)
+
+            totals, auxs = jax.vmap(one)(offs, batch, view_rngs)
+            return jnp.mean(totals), auxs
+
+        (loss, auxs), grads = jax.value_and_grad(loss_mean, argnums=(0, 1, 2), has_aux=True)(
+            ts.gaussians.params, ts.exposure, offsets
+        )
+        param_grads, expo_grads, screen_grads = grads
+
+        visible_any = jnp.any(auxs["visibility"], axis=0)
+        lrs = lr_tree(ts.step, cfg.lr, ts.gaussians.spatial_lr_scale)
+        new_params, new_opt = masked_adam_update(
+            ts.gaussians.params, param_grads, ts.opt, lrs, visible_any
+        )
+        g_state = ts.gaussians._replace(params=new_params)
+
+        # Per-view screenspace gradients: the mean loss contributes 1/V per
+        # view, so scale back to single-view magnitude before the running-max
+        # densification stat (matches the sequential loop's semantics).
+        sg = screen_grads * V  # (V, C, 2)
+        gnorm = jnp.linalg.norm(sg[..., :2], axis=-1)  # (V, C)
+        gabs = jnp.sum(jnp.abs(sg[..., :2]), axis=-1)
+        vis = auxs["visibility"]  # (V, C)
+        g_state = g_state._replace(
+            grad_max=jnp.maximum(g_state.grad_max, jnp.max(jnp.where(vis, gnorm, 0.0), axis=0)),
+            grad_abs_max=jnp.maximum(
+                g_state.grad_abs_max, jnp.max(jnp.where(vis, gabs, 0.0), axis=0)
+            ),
+            max_radii2d=jnp.maximum(
+                g_state.max_radii2d,
+                jnp.max(jnp.where(vis, auxs["radii"].astype(jnp.float32), 0.0), axis=0),
+            ),
+        )
+
+        if use_exposure:
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            t = jnp.maximum(ts.step + 1, 1).astype(jnp.float32)
+            m = b1 * ts.exposure_m + (1 - b1) * expo_grads
+            v = b2 * ts.exposure_v + (1 - b2) * expo_grads**2
+            lr_e = expon_lr(
+                ts.step, cfg.lr.exposure_lr_init, cfg.lr.exposure_lr_final, cfg.iterations
+            )
+            new_expo = ts.exposure - lr_e * (m / (1 - b1**t)) / (jnp.sqrt(v / (1 - b2**t)) + eps)
+        else:
+            m, v, new_expo = ts.exposure_m, ts.exposure_v, ts.exposure
+
+        new_ts = TrainState(
+            gaussians=g_state,
+            opt=new_opt,
+            exposure=new_expo,
+            exposure_m=m,
+            exposure_v=v,
+            step=ts.step + 1,
+            rng=rng,
+        )
+        metrics = {
+            k: jnp.mean(val) for k, val in auxs.items() if val.ndim <= 1 and k != "visibility"
+        }
+        metrics["loss"] = loss
+        return new_ts, metrics
+
+    def place(ts: TrainState, batch: ViewBatch):
+        """Device-place state (replicated) and batch (view-sharded)."""
+        ts = jax.device_put(ts, repl)
+        batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard_view), batch)
+        return ts, batch
+
+    return step, place
+
+
+def stack_view_batches(batches) -> ViewBatch:
+    """Stack a list of per-view ViewBatches along a new leading axis.
+    All views must share image shape (same-resolution policy)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)

@@ -1,0 +1,121 @@
+"""Public differentiable render API.
+
+Equivalent surface to the reference renderer (gaussian_renderer/__init__.py:36-214
+`render()` and the GaussianRasterizer settings validation,
+diff_gaussian_rasterization/__init__.py:178-230), output-dict compatible:
+render / depth(invdepth) / plane_depth / rendered_normal / rendered_distance /
+depth_normal / alpha / out_observe / radii / visibility.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from hidegs_tpu.core import sh as shm
+from hidegs_tpu.core.camera_math import CameraParams
+from hidegs_tpu.core.geometry import depth_to_normal_cam, plane_depth_from_blend
+from hidegs_tpu.raster import binning as binning_mod
+from hidegs_tpu.raster.binning import TILE, bin_gaussians, tile_grid
+from hidegs_tpu.raster.blend_jnp import blend_tiles
+from hidegs_tpu.raster.preprocess import preprocess_gaussians
+
+RenderOutputs = Dict[str, jnp.ndarray]
+
+
+@dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterization settings (compile-time constants under jit)."""
+
+    tile: int = TILE
+    max_instances: int = 1 << 20  # static instance budget (SURVEY §7.3 #1)
+    backend: str = "jnp"  # "jnp" | "pallas" | "oracle"
+    antialias: bool = True
+
+
+def render(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray,
+    cam: CameraParams,
+    background: Optional[jnp.ndarray] = None,
+    active_sh_degree=shm.MAX_SH_DEGREE,
+    render_geo: bool = False,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    config: RasterConfig = RasterConfig(),
+    mean2d_offset: Optional[jnp.ndarray] = None,
+) -> RenderOutputs:
+    """Differentiable render of a set of 3D Gaussians into `cam`.
+
+    All array args are full-capacity padded buffers; dead gaussians must carry
+    opacity 0 (the model layer guarantees this), which culls them here.
+    """
+    if background is None:
+        background = jnp.zeros(3, dtype=jnp.float32)
+    H, W = cam.height, cam.width
+    tiles_y, tiles_x = tile_grid(H, W, config.tile)
+
+    pre = preprocess_gaussians(
+        means3d,
+        scales,
+        quats,
+        opacities,
+        shs,
+        cam,
+        active_sh_degree=active_sh_degree,
+        render_geo=render_geo,
+        colors_precomp=colors_precomp,
+        antialias=config.antialias,
+        mean2d_offset=mean2d_offset,
+    )
+
+    if config.backend == "oracle":
+        from hidegs_tpu.raster.oracle import render_oracle
+
+        out = render_oracle(pre, cam, background=background, render_geo=render_geo)
+        out["radii"] = pre.radius
+        out["visibility"] = pre.visible & (pre.radius > 0)
+        return out
+
+    tb = bin_gaussians(pre, tiles_y, tiles_x, config.max_instances, config.tile)
+    if config.backend == "pallas":
+        from hidegs_tpu.raster.pallas_blend import blend_tiles_pallas
+
+        planes = blend_tiles_pallas(pre, tb, tiles_y, tiles_x, config.tile)
+    else:
+        planes = blend_tiles(pre, tb, tiles_y, tiles_x, config.tile)
+
+    def crop(x):
+        return x[..., :H, :W]
+
+    color = crop(planes["render"]) + crop(planes["T_final"])[None] * background[:, None, None]
+    out: RenderOutputs = {
+        "render": color,
+        "invdepth": crop(planes["invdepth"]),
+        "alpha": crop(planes["alpha"]),
+        "T_final": crop(planes["T_final"]),
+        "out_observe": planes["out_observe"],
+        "radii": pre.radius,
+        "visibility": pre.visible & (pre.radius > 0),
+        "overflow": tb.overflow,
+    }
+    if render_geo:
+        nrm = crop(planes["normal"])
+        dist = crop(planes["distance"])
+        out["rendered_normal"] = nrm
+        out["rendered_distance"] = dist
+        out["plane_depth"] = plane_depth_from_blend(dist, jnp.moveaxis(nrm, 0, -1), cam)
+        # normal re-derived from the plane depth map (render_normal,
+        # gaussian_renderer/__init__.py:21-33) for the single-view loss.
+        out["depth_normal"] = jnp.moveaxis(depth_to_normal_cam(out["plane_depth"], cam), -1, 0)
+    return out
+
+
+def suggest_max_instances(n_gaussians: int, mult: int = 8, floor: int = 1 << 16) -> int:
+    """Heuristic static budget: `mult` tile-instances per gaussian, rounded to
+    a power of two so recompiles are rare when N changes."""
+    want = max(floor, mult * n_gaussians)
+    return 1 << (want - 1).bit_length()

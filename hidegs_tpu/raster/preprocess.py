@@ -1,0 +1,102 @@
+"""Per-Gaussian screen-space preprocessing shared by all rasterizer paths.
+
+Covers what the reference's `preprocessCUDA` does (cuda_rasterizer/
+forward.cu:218-435) minus tile binning: frustum cull, EWA projection, conic,
+radius, SH→RGB, and the planar-geometry channels (camera-space normal +
+signed plane distance, gaussian_renderer/__init__.py:161-169). Batched pure
+JAX; autodiff provides the entire `BACKWARD::preprocess` equivalent.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from hidegs_tpu.core import sh as shm
+from hidegs_tpu.core import transforms
+from hidegs_tpu.core.camera_math import CameraParams
+from hidegs_tpu.core.ewa import H_VAR, NEAR_Z, Projected2D, project_gaussians
+
+
+class PreprocessedGaussians(NamedTuple):
+    """Screen-space per-Gaussian data consumed by binning + blending."""
+
+    mean2d: jnp.ndarray  # (N, 2)
+    conic: jnp.ndarray  # (N, 3)
+    depth: jnp.ndarray  # (N,) camera z
+    inv_depth: jnp.ndarray  # (N,)
+    opacity: jnp.ndarray  # (N,) post-AA opacity
+    rgb: jnp.ndarray  # (N, 3)
+    normal: jnp.ndarray  # (N, 3) camera-space plane normal (zeros if geo off)
+    distance: jnp.ndarray  # (N,) signed plane distance (zeros if geo off)
+    radius: jnp.ndarray  # (N,) int32 pixel radius (0 = culled)
+    visible: jnp.ndarray  # (N,) bool
+
+
+def preprocess_gaussians(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray,
+    cam: CameraParams,
+    active_sh_degree=shm.MAX_SH_DEGREE,
+    render_geo: bool = False,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    antialias: bool = True,
+    h_var: float = H_VAR,
+    near_z: float = NEAR_Z,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+) -> PreprocessedGaussians:
+    """means3d (N,3) world; scales (N,3) linear; quats (N,4) wxyz;
+    opacities (N,) in [0,1]; shs (N,K,3).
+
+    `colors_precomp` bypasses SH evaluation (reference allows either SHs or
+    precomputed colors, diff_gaussian_rasterization/__init__.py:194-205).
+    `mean2d_offset` is an all-zeros (N, 2) tensor whose gradient exposes the
+    screenspace positional gradient for densification — the JAX equivalent of
+    the reference's retain_grad'd screenspace_points
+    (gaussian_renderer/__init__.py:45-49).
+    """
+    cov3d = transforms.build_covariance_3d(scales, quats)
+    proj: Projected2D = project_gaussians(means3d, cov3d, cam, h_var=h_var, near_z=near_z)
+    if mean2d_offset is not None:
+        proj = proj._replace(mean2d=proj.mean2d + mean2d_offset)
+
+    if colors_precomp is not None:
+        rgb = colors_precomp
+    else:
+        dirs = means3d - cam.camera_center
+        rgb = shm.sh_to_rgb(active_sh_degree, shs, dirs)
+
+    opac = opacities * (proj.aa_factor if antialias else 1.0)
+
+    if render_geo:
+        # Per-Gaussian plane: normal = smallest principal axis rotated to
+        # camera frame, flipped toward the camera; distance = n · p_cam
+        # (gaussian_renderer/__init__.py:161-169, scene/gaussian_model.py:153-166).
+        n_world = transforms.smallest_axis(scales, quats)
+        n_cam = n_world @ cam.R.T
+        p_cam = means3d @ cam.R.T + cam.t
+        # flip so the normal faces the camera (n · p < 0)
+        flip = jnp.where(jnp.sum(n_cam * p_cam, axis=-1, keepdims=True) > 0, -1.0, 1.0)
+        n_cam = n_cam * flip
+        distance = jnp.sum(n_cam * p_cam, axis=-1)
+    else:
+        n_cam = jnp.zeros_like(means3d)
+        distance = jnp.zeros_like(proj.depth)
+
+    visible = proj.in_frustum & (proj.radius > 0)
+    safe_z = jnp.maximum(proj.depth, near_z)
+    return PreprocessedGaussians(
+        mean2d=proj.mean2d,
+        conic=proj.conic,
+        depth=proj.depth,
+        inv_depth=jnp.where(visible, 1.0 / safe_z, 0.0),
+        opacity=jnp.where(visible, opac, 0.0),
+        rgb=rgb,
+        normal=n_cam,
+        distance=distance,
+        radius=jnp.where(visible, proj.radius, 0.0).astype(jnp.int32),
+        visible=visible,
+    )

@@ -1,0 +1,200 @@
+"""Multi-scale frequency-spatial joint regularization + high-frequency-aware
+scale regularization — HiDeGS's core novelty.
+
+Functional re-implementation of the active code in
+scripts/frequency_regularization.py:1047-1676 (TrueFrequencyPyramidRegularizer
+and frequency_regularization_pyramid_scale) as fused, fully-jittable JAX:
+
+  * avg-pool pyramid (3 levels, weights [0.1, 0.05, 0.025])
+  * per-level loss = 0.7·spatial + 0.3·fft, where
+      spatial = clamp(0.7·(Sobel-x MSE + Sobel-y MSE) + 0.3·Laplacian MSE, 0, 1)
+      fft     = clamp(0.6·log-magnitude MSE (clamped 10)
+                      + 0.2·wrapped-phase mean (clamped π)
+                      + 0.2·band-energy MSE over 4 radial annuli (clamped 100), 0, 10)
+    level loss clamped to [0, 0.1], total freq loss clamped to [0, 0.1]
+  * high-frequency mask from gt: 0.6·|∇|(Sobel) + 0.4·|Laplacian| combined
+    0.7/0.3 with the normalized high-pass (r > 0.3·r_max) FFT reconstruction,
+    clamp [0,5], min-max normalize, threshold 0.2
+  * scale regularization: visible gaussians with max activated scale > 0.01
+    get mean squared excess, clamped to [0, 0.01]; gated on the mask having
+    any high-frequency pixels (as in the reference)
+  * total = clamp(λ_freq·freq + λ_scale·scale, 0, 1), zero during warm-up.
+
+The torch version's try/except fallbacks are unnecessary here (static shapes
+are checked at trace time), so the math is the `valid=True` path throughout.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+SOBEL_Y = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.float32)
+LAPLACIAN = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], np.float32)
+
+
+def _conv2d_same(img2d: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """(H, W) ⊛ 3x3, zero-padded SAME (matches F.conv2d padding=1)."""
+    return jax.lax.conv_general_dilated(
+        img2d[None, None],
+        jnp.asarray(kernel)[None, None],
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+
+
+def _avg_pool2(img: jnp.ndarray) -> jnp.ndarray:
+    """(C, H, W) → (C, H//2, W//2), 2x2 avg pool (floor semantics like torch)."""
+    C, H, W = img.shape
+    H2, W2 = H // 2, W // 2
+    return img[:, : 2 * H2, : 2 * W2].reshape(C, H2, 2, W2, 2).mean(axis=(2, 4))
+
+
+def _fft_features(gray: jnp.ndarray, freq_bands: int = 4):
+    """fftshifted magnitude/log-magnitude/phase + radial band energies."""
+    g = jnp.clip(gray, 0.0, 1.0)
+    F = jnp.fft.fftshift(jnp.fft.fft2(g))
+    magnitude = jnp.abs(F)
+    phase = jnp.angle(F)
+    log_magnitude = jnp.log(magnitude + 1e-6)
+
+    h, w = gray.shape
+    cy, cx = h // 2, w // 2
+    y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    distance = jnp.sqrt((y - cy) ** 2 + (x - cx) ** 2)
+    rmax = float(min(cy, cx))
+
+    energies = []
+    for i in range(freq_bands):
+        inner = i * rmax / freq_bands
+        outer = (i + 1) * rmax / freq_bands
+        band = ((distance >= inner) & (distance < outer)).astype(jnp.float32)
+        energies.append((magnitude * band).sum() / (band.sum() + 1e-8))
+    return magnitude, log_magnitude, phase, jnp.stack(energies), distance, rmax
+
+
+def _spatial_freq_loss(rendered_gray: jnp.ndarray, gt_gray: jnp.ndarray) -> jnp.ndarray:
+    gx_r = _conv2d_same(rendered_gray, SOBEL_X)
+    gy_r = _conv2d_same(rendered_gray, SOBEL_Y)
+    gx_g = _conv2d_same(gt_gray, SOBEL_X)
+    gy_g = _conv2d_same(gt_gray, SOBEL_Y)
+    grad_loss = jnp.mean((gx_r - gx_g) ** 2) + jnp.mean((gy_r - gy_g) ** 2)
+    lap_r = _conv2d_same(rendered_gray, LAPLACIAN)
+    lap_g = _conv2d_same(gt_gray, LAPLACIAN)
+    lap_loss = jnp.mean((lap_r - lap_g) ** 2)
+    return jnp.clip(0.7 * grad_loss + 0.3 * lap_loss, 0.0, 1.0)
+
+
+def _fft_freq_loss(rendered_gray: jnp.ndarray, gt_gray: jnp.ndarray, freq_bands: int = 4) -> jnp.ndarray:
+    _, logm_r, ph_r, be_r, _, _ = _fft_features(rendered_gray, freq_bands)
+    _, logm_g, ph_g, be_g, _, _ = _fft_features(gt_gray, freq_bands)
+    mag_loss = jnp.clip(jnp.mean((logm_r - logm_g) ** 2), 0.0, 10.0)
+    phase_diff = jnp.abs(ph_r - ph_g)
+    phase_diff = jnp.minimum(phase_diff, 2 * jnp.pi - phase_diff)
+    phase_loss = jnp.clip(jnp.mean(phase_diff), 0.0, jnp.pi)
+    band_loss = jnp.clip(jnp.mean((be_r - be_g) ** 2), 0.0, 100.0)
+    return jnp.clip(0.6 * mag_loss + 0.2 * phase_loss + 0.2 * band_loss, 0.0, 10.0)
+
+
+def high_frequency_mask(gt: jnp.ndarray, thresh: float = 0.2) -> jnp.ndarray:
+    """(3, H, W) gt → (H, W) float 0/1 high-frequency mask
+    (detect_true_high_frequency_regions, frequency_regularization.py:1166-1268)."""
+    gray = jnp.mean(gt, axis=0)
+    gx = _conv2d_same(gray, SOBEL_X)
+    gy = _conv2d_same(gray, SOBEL_Y)
+    grad_mag = jnp.sqrt(gx * gx + gy * gy + 1e-8)
+    lap = jnp.abs(_conv2d_same(gray, LAPLACIAN))
+    spatial_score = 0.6 * grad_mag + 0.4 * lap
+
+    # high-pass FFT reconstruction
+    F = jnp.fft.fftshift(jnp.fft.fft2(gray))
+    h, w = gray.shape
+    cy, cx = h // 2, w // 2
+    y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    distance = jnp.sqrt((y - cy) ** 2 + (x - cx) ** 2)
+    rmax = float(min(cy, cx))
+    hp = jnp.where(distance > 0.3 * rmax, F, 0.0)
+    hf_spatial = jnp.abs(jnp.fft.ifft2(jnp.fft.ifftshift(hp)))
+    hf_spatial = hf_spatial / jnp.maximum(hf_spatial.max(), 1e-8)
+
+    combined = jnp.clip(0.7 * spatial_score + 0.3 * hf_spatial, 0.0, 5.0)
+    lo, hi = combined.min(), combined.max()
+    combined = jnp.where(hi - lo > 1e-6, (combined - lo) / jnp.maximum(hi - lo, 1e-6), 0.0)
+    return (combined > thresh).astype(jnp.float32)
+
+
+def scale_regularization(
+    scales: jnp.ndarray, visible: jnp.ndarray, scale_threshold: float = 0.01
+) -> jnp.ndarray:
+    """Quadratic penalty on visible gaussians whose max activated scale
+    exceeds `scale_threshold` (compute_scale_regularization,
+    frequency_regularization.py:1403-1444)."""
+    max_scale = jnp.max(scales, axis=-1)
+    over = visible & (max_scale > scale_threshold)
+    excess = jnp.where(over, max_scale - scale_threshold, 0.0)
+    loss = jnp.sum(excess**2) / jnp.maximum(over.sum(), 1)
+    return jnp.clip(loss, 0.0, 0.01)
+
+
+@partial(jax.jit, static_argnames=("num_levels", "freq_bands"))
+def frequency_pyramid_loss(
+    rendered: jnp.ndarray,
+    gt: jnp.ndarray,
+    num_levels: int = 3,
+    freq_bands: int = 4,
+) -> jnp.ndarray:
+    """Pyramid frequency loss (compute_true_frequency_loss)."""
+    weights = [0.1, 0.05, 0.025][:num_levels]
+    total = jnp.float32(0.0)
+    r, g = rendered, gt
+    for lvl in range(num_levels):
+        r_gray = jnp.mean(r, axis=0)
+        g_gray = jnp.mean(g, axis=0)
+        spatial = _spatial_freq_loss(r_gray, g_gray)
+        fft = _fft_freq_loss(r_gray, g_gray, freq_bands)
+        level = jnp.clip(0.7 * spatial + 0.3 * fft, 0.0, 0.1)
+        total = total + weights[lvl] * level
+        if lvl + 1 < num_levels:
+            r = _avg_pool2(r)
+            g = _avg_pool2(g)
+    return jnp.clip(total, 0.0, 0.1)
+
+
+def frequency_regularization(
+    rendered: jnp.ndarray,
+    gt: jnp.ndarray,
+    scales: jnp.ndarray,
+    visible: jnp.ndarray,
+    iteration,
+    lambda_freq: float = 0.001,
+    lambda_scale: float = 0.005,
+    num_levels: int = 3,
+    high_freq_thresh: float = 0.2,
+    warmup_iterations: int = 1000,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Entry point mirroring frequency_regularization_pyramid_scale
+    (frequency_regularization.py:1579-1676). `iteration` may be traced; the
+    warm-up gate is a `where`, so the fn stays jittable inside the train step.
+
+    Returns (loss, high_freq_mask, debug_info).
+    """
+    freq = frequency_pyramid_loss(rendered, gt, num_levels=num_levels)
+    mask = high_frequency_mask(gt, thresh=high_freq_thresh)
+    s_reg = scale_regularization(scales, visible)
+    s_reg = jnp.where(mask.sum() > 0, s_reg, 0.0)
+    total = jnp.clip(lambda_freq * freq + lambda_scale * s_reg, 0.0, 1.0)
+    total = jnp.where(jnp.asarray(iteration) < warmup_iterations, 0.0, total)
+    debug = {
+        "freq_loss": freq,
+        "scale_loss": s_reg,
+        "high_freq_ratio": mask.mean(),
+        "total_loss": total,
+    }
+    return total, mask, debug

@@ -1,0 +1,130 @@
+"""Geometric consistency losses (PGSR-style, as wired in HiDeGS §3.3).
+
+Single-view: edge-weighted consistency between the rasterized per-gaussian
+normals and normals re-derived from the blended plane depth
+(renderer outputs, gaussian_renderer/__init__.py:204-214; weight map
+utils/loss_utils.py:66-78; weights arguments/__init__.py:118-135).
+
+Multi-view: sample pixels in the reference view, unproject via plane depth,
+warp patch neighborhoods to a source view with the plane-induced homography,
+compare LNCC; geometric reprojection check trims occluded/bad pixels
+(scene/__init__.py:112-130 neighbor graph, utils/loss_utils.py:80-115 lncc,
+pixel-noise threshold arguments/__init__.py:129-135).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hidegs_tpu.core.camera_math import CameraParams, pixel_rays, project_points
+from hidegs_tpu.core.geometry import (
+    apply_homography,
+    bilinear_sample,
+    homography_from_plane,
+    patch_offsets,
+)
+from hidegs_tpu.train.losses import image_gradient_weight, lncc
+
+
+def single_view_normal_loss(
+    rendered_normal: jnp.ndarray,  # (3, H, W) blended gaussian normals (cam frame)
+    depth_normal: jnp.ndarray,  # (3, H, W) normals from plane depth map
+    gt_image: jnp.ndarray,  # (3, H, W) for the edge weight
+    alpha: jnp.ndarray,  # (H, W) coverage
+) -> jnp.ndarray:
+    """Edge-weighted L1 between the two normal estimates; uncovered pixels and
+    image edges are down-weighted (the PGSR single-view term)."""
+    w = image_gradient_weight(gt_image) * jnp.clip(alpha, 0.0, 1.0)
+    diff = jnp.sum(jnp.abs(rendered_normal - depth_normal), axis=0)
+    # border rows/cols have no depth-normal: mask them
+    valid = jnp.zeros_like(diff).at[1:-1, 1:-1].set(1.0)
+    return jnp.sum(diff * w * valid) / jnp.maximum(jnp.sum(w * valid), 1e-6)
+
+
+class MultiViewBatch(NamedTuple):
+    """Per-step data for one (reference, source) camera pair."""
+
+    src_image_gray: jnp.ndarray  # (H, W) source view grayscale
+    src_plane_depth: jnp.ndarray  # (H, W) source view rendered plane depth
+    src_cam: CameraParams
+
+
+def multi_view_losses(
+    plane_depth: jnp.ndarray,  # (H, W) reference plane depth
+    normal_cam: jnp.ndarray,  # (3, H, W) reference blended normals (cam frame)
+    ref_image_gray: jnp.ndarray,  # (H, W)
+    ref_cam: CameraParams,
+    src: MultiViewBatch,
+    rng: jax.Array,
+    num_samples: int = 4096,
+    patch_half: int = 1,  # patch size 3 (arguments/__init__.py:133)
+    pixel_noise_th: float = 1.0,
+    ncc_threshold: float = 0.9,
+):
+    """Returns (ncc_loss, geo_loss) — the photometric (LNCC) and geometric
+    (reprojection distance) multi-view consistency terms.
+
+    Fully static shapes: `num_samples` pixels are drawn uniformly; invalid
+    samples (low coverage, warp out of bounds, reprojection error above the
+    noise threshold) are masked out of the means.
+    """
+    H, W = plane_depth.shape
+    k1, _ = jax.random.split(rng)
+    # sample pixel centers away from the border
+    uv = jax.random.uniform(
+        k1, (num_samples, 2),
+        minval=jnp.array([patch_half + 1.0, patch_half + 1.0]),
+        maxval=jnp.array([W - patch_half - 1.0, H - patch_half - 1.0]),
+    )
+
+    depth_s, dep_ok = bilinear_sample(plane_depth, uv)
+    normal_s, _ = bilinear_sample(jnp.moveaxis(normal_cam, 0, -1), uv)  # (S, 3)
+    n_norm = jnp.linalg.norm(normal_s, axis=-1)
+    normal_u = normal_s / jnp.maximum(n_norm[:, None], 1e-8)
+
+    # plane distance in the ref camera frame: d = n · X, X = ray * depth
+    x = (uv[:, 0] - ref_cam.cx) / ref_cam.fx
+    y = (uv[:, 1] - ref_cam.cy) / ref_cam.fy
+    rays = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    X_ref = rays * depth_s[:, None]
+    dist = jnp.sum(normal_u * X_ref, axis=-1)
+
+    valid = dep_ok & (depth_s > 1e-3) & (n_norm > 0.1)
+
+    # homography warp of patches ref → src
+    Hm = homography_from_plane(normal_u, dist, ref_cam, src.src_cam)  # (S, 3, 3)
+    offs = patch_offsets(patch_half)  # (P, 2)
+    patch_uv = uv[:, None, :] + offs[None, :, :]  # (S, P, 2)
+    warped_uv = apply_homography(Hm[:, None], patch_uv)  # (S, P, 2)
+
+    ref_patch, ref_ok = bilinear_sample(ref_image_gray, patch_uv)
+    src_patch, src_ok = bilinear_sample(src.src_image_gray, warped_uv)
+    valid = valid & ref_ok.all(axis=-1) & src_ok.all(axis=-1)
+
+    ncc, ncc_mask = lncc(ref_patch, src_patch, ncc_threshold)
+
+    # geometric check (PGSR): unproject ref pixel via ref depth → src view →
+    # read the SRC view's rendered depth there → unproject → back into ref →
+    # pixel distance. Large round-trip error ⇒ occlusion / bad geometry.
+    R_rel = src.src_cam.R @ ref_cam.R.T
+    t_rel = src.src_cam.t - R_rel @ ref_cam.t
+    X_src = X_ref @ R_rel.T + t_rel
+    uv_src, z_src = project_points(X_src, src.src_cam)
+    src_depth_s, src_dep_ok = bilinear_sample(src.src_plane_depth, uv_src)
+    xs = (uv_src[:, 0] - src.src_cam.cx) / src.src_cam.fx
+    ys = (uv_src[:, 1] - src.src_cam.cy) / src.src_cam.fy
+    X_src2 = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1) * src_depth_s[:, None]
+    X_ref2 = (X_src2 - t_rel) @ R_rel
+    uv_back, z_back = project_points(X_ref2, ref_cam)
+    pix_err = jnp.linalg.norm(uv_back - uv, axis=-1)
+    valid = valid & (z_src > 1e-3) & src_dep_ok & (src_depth_s > 1e-3) & (z_back > 1e-3)
+    geo_ok = valid & (pix_err < pixel_noise_th)
+
+    w_ncc = (valid & ncc_mask & geo_ok).astype(jnp.float32)
+    ncc_loss = jnp.sum(ncc * w_ncc) / jnp.maximum(jnp.sum(w_ncc), 1.0)
+    geo_loss = jnp.sum(jnp.minimum(pix_err, pixel_noise_th) * valid) / jnp.maximum(
+        jnp.sum(valid), 1.0
+    )
+    return ncc_loss, geo_loss

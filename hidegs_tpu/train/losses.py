@@ -1,0 +1,124 @@
+"""Photometric losses and metrics.
+
+Functional parity with utils/loss_utils.py (l1, windowed SSIM σ=1.5/11x11,
+LNCC patch correlation, image-gradient edge weight) and utils/image_utils.py
+(psnr). Images are channel-first (C, H, W) float32 in [0, 1] like the
+reference. Convolutions are expressed as depthwise `lax.conv` so XLA lowers
+them onto the MXU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def l2_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - gt) ** 2)
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """PSNR in dB; optional (H, W) alpha mask (eval.py:326-336 masked metrics)."""
+    err = (pred - gt) ** 2
+    if mask is None:
+        mse = jnp.mean(err)
+    else:
+        if mask.ndim == err.ndim - 1:
+            mask = mask[None]
+        mask = jnp.broadcast_to(mask, err.shape)
+        mse = jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask), 1e-8)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2.0 * sigma**2))
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+def _depthwise_conv2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """(C, H, W) image ⊛ (kh, kw) kernel per channel, SAME padding."""
+    C = img.shape[0]
+    lhs = img[None]  # (1, C, H, W)
+    rhs = jnp.broadcast_to(kernel[None, None], (C, 1, *kernel.shape))
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding="SAME",
+        feature_group_count=C,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0]
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    c1: float = 0.01**2,
+    c2: float = 0.03**2,
+) -> jnp.ndarray:
+    """Mean SSIM, matching utils/loss_utils.py:24-64 (gaussian window)."""
+    win = jnp.asarray(_gaussian_window(window_size, sigma))
+    mu1 = _depthwise_conv2d(img1, win)
+    mu2 = _depthwise_conv2d(img2, win)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_conv2d(img1 * img1, win) - mu1_sq
+    sigma2_sq = _depthwise_conv2d(img2 * img2, win) - mu2_sq
+    sigma12 = _depthwise_conv2d(img1 * img2, win) - mu12
+    ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def dssim_l1(pred: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2) -> jnp.ndarray:
+    """The reference photometric objective:
+    (1-λ)·L1 + λ·(1-SSIM) (arguments/__init__.py:105, §3.3)."""
+    return (1.0 - lambda_dssim) * l1_loss(pred, gt) + lambda_dssim * (
+        1.0 - ssim(pred, gt)
+    )
+
+
+def image_gradient_weight(gt: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware weight map in [0,1]: 1 - normalized image gradient magnitude
+    (get_img_grad_weight, utils/loss_utils.py:66-78). gt: (3, H, W) → (H, W)."""
+    gray = jnp.mean(gt, axis=0)
+    dx = jnp.abs(gray[:, 2:] - gray[:, :-2])[1:-1, :]  # (H-2, W-2)
+    dy = jnp.abs(gray[2:, :] - gray[:-2, :])[:, 1:-1]
+    grad = jnp.maximum(dx, dy)
+    gmin, gmax = jnp.min(grad), jnp.max(grad)
+    grad = (grad - gmin) / jnp.maximum(gmax - gmin, 1e-8)
+    H, W = gray.shape
+    out = jnp.ones((H, W), gray.dtype)
+    return out.at[1:-1, 1:-1].set(1.0 - grad)
+
+
+def lncc(
+    ref_patches: jnp.ndarray,
+    src_patches: jnp.ndarray,
+    ncc_threshold: float = 0.9,
+):
+    """Local normalized cross-correlation over patch dims.
+
+    ref/src: (..., P) flattened gray patches. Returns (ncc_loss, mask):
+    loss = 1 - NCC ∈ [0, 2] and mask = loss < threshold, mirroring
+    utils/loss_utils.py:80-115 (mask there keeps ncc < 0.9 — i.e. the
+    *loss* below 0.9 after the 1-NCC mapping).
+    """
+    mean_r = jnp.mean(ref_patches, axis=-1, keepdims=True)
+    mean_s = jnp.mean(src_patches, axis=-1, keepdims=True)
+    var_r = jnp.mean(ref_patches**2, axis=-1, keepdims=True) - mean_r**2
+    var_s = jnp.mean(src_patches**2, axis=-1, keepdims=True) - mean_s**2
+    cov = jnp.mean(ref_patches * src_patches, axis=-1, keepdims=True) - mean_r * mean_s
+    denom = jnp.sqrt(jnp.maximum(var_r * var_s, 1e-10))
+    ncc = jnp.clip(cov / denom, -1.0, 1.0)[..., 0]
+    loss = 1.0 - ncc
+    mask = loss < ncc_threshold
+    return loss, mask

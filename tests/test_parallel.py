@@ -1,0 +1,86 @@
+"""Multi-device (8 virtual CPU) view-parallel training test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
+from hidegs_tpu.model.gaussians import init_from_points
+from hidegs_tpu.model.knn import initial_scales
+from hidegs_tpu.parallel.mesh import make_mesh
+from hidegs_tpu.parallel.sharded import make_dp_train_step, stack_view_batches
+from hidegs_tpu.raster.api import RasterConfig, render
+from hidegs_tpu.train.loop import TrainConfig, ViewBatch, init_train_state, train_step
+from hidegs_tpu.train.losses import psnr
+
+H = W = 32
+RCFG = RasterConfig(backend="jnp", max_instances=1 << 12)
+
+
+def setup(n=60, n_views=8):
+    scene = make_toy_gaussians(n, seed=0)
+    cams = [ring_camera(i, n_cams=n_views, height=H, width=W) for i in range(n_views)]
+    gts = [render(*scene, c, config=RCFG)["render"] for c in cams]
+    pts = scene.means3d
+    state = init_from_points(
+        pts, jnp.full((n, 3), 0.5), capacity=64, knn_scale=initial_scales(pts)
+    )
+    return cams, gts, state
+
+
+def test_dp_step_runs_on_mesh():
+    assert jax.device_count() >= 8
+    cams, gts, state = setup()
+    mesh = make_mesh(8, data=8, model=1)
+    cfg = TrainConfig(
+        iterations=100, raster=RCFG, freq_warmup=10_000, single_view_weight=0.0
+    )
+    step, place = make_dp_train_step(cfg, mesh)
+    ts = init_train_state(state, num_images=8)
+    batches = [
+        ViewBatch(cam=cams[i], image=gts[i], image_idx=jnp.int32(i)) for i in range(8)
+    ]
+    batch = stack_view_batches(batches)
+    ts, batch = place(ts, batch)
+    for _ in range(10):
+        ts, metrics = step(ts, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(ts.step) == 10
+    # params actually moved
+    assert float(jnp.abs(ts.gaussians.params.sh_dc).max()) > 0
+
+
+def test_dp_matches_sequential_gradients():
+    """One DP step over V views == averaged-loss sequential semantics:
+    verify the param update direction is consistent with per-view steps by
+    checking loss decreases over a few DP steps."""
+    cams, gts, state = setup()
+    mesh = make_mesh(8, data=8, model=1)
+    cfg = TrainConfig(iterations=100, raster=RCFG, freq_warmup=10_000, single_view_weight=0.0)
+    step, place = make_dp_train_step(cfg, mesh)
+    ts = init_train_state(state, num_images=8)
+    batch = stack_view_batches(
+        [ViewBatch(cam=cams[i], image=gts[i], image_idx=jnp.int32(i)) for i in range(8)]
+    )
+    ts, batch = place(ts, batch)
+    losses = []
+    for _ in range(30):
+        ts, m = step(ts, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] - 0.005, losses[:3] + losses[-3:]
+
+
+def test_dp_visibility_union_semantics():
+    cams, gts, state = setup()
+    mesh = make_mesh(8, data=8, model=1)
+    cfg = TrainConfig(iterations=100, raster=RCFG, freq_warmup=10_000, single_view_weight=0.0)
+    step, place = make_dp_train_step(cfg, mesh)
+    ts = init_train_state(state, num_images=8)
+    batch = stack_view_batches(
+        [ViewBatch(cam=cams[i], image=gts[i], image_idx=jnp.int32(i)) for i in range(8)]
+    )
+    ts0, batch = place(ts, batch)
+    ts1, _ = step(ts0, batch)
+    # gaussians visible in no view must be exactly frozen (dead padded slots)
+    moved = np.abs(np.array(ts1.gaussians.params.xyz) - 0.0).sum(axis=-1)
+    alive = np.array(ts1.gaussians.alive)
+    assert (moved[~alive] == 0).all()

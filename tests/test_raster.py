@@ -1,0 +1,154 @@
+"""Rasterizer correctness: oracle sanity, tile path vs oracle, gradients."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hidegs_tpu.core.camera_math import make_camera
+from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
+from hidegs_tpu.raster.api import RasterConfig, render
+from hidegs_tpu.raster.binning import bin_gaussians, tile_grid
+from hidegs_tpu.raster.preprocess import preprocess_gaussians
+
+
+def small_scene(n=300, h=64, w=80, seed=0):
+    scene = make_toy_gaussians(n, seed=seed)
+    cam = ring_camera(0, height=h, width=w)
+    return scene, cam
+
+
+def test_oracle_renders_something():
+    scene, cam = small_scene()
+    out = render(*scene, cam, config=RasterConfig(backend="oracle"))
+    img = np.array(out["render"])
+    assert img.shape == (3, 64, 80)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05  # something was splatted
+    assert (np.array(out["alpha"]) <= 1.0 + 1e-5).all()
+    assert np.array(out["visibility"]).sum() > 0
+
+
+def test_oracle_background_composites():
+    scene, cam = small_scene(n=5)
+    bg = jnp.array([1.0, 0.0, 0.0])
+    out = render(*scene, cam, background=bg, config=RasterConfig(backend="oracle"))
+    # pixels with no splat coverage must be exactly background
+    T = np.array(out["T_final"])
+    img = np.array(out["render"])
+    empty = T > 0.999
+    assert empty.sum() > 0
+    np.testing.assert_allclose(img[0][empty], 1.0, atol=1e-4)
+    np.testing.assert_allclose(img[1][empty], 0.0, atol=1e-4)
+
+
+def test_binning_counts_match_rects():
+    scene, cam = small_scene()
+    pre = preprocess_gaussians(*scene, cam)
+    ty, tx = tile_grid(cam.height, cam.width)
+    tb = bin_gaussians(pre, ty, tx, max_instances=1 << 15)
+    assert int(tb.overflow) == 0
+    # every valid instance's tile must be inside the grid, sorted ascending
+    tids = np.array(tb.tile_id)
+    valid = tids < ty * tx
+    assert (np.diff(tids) >= 0).all()
+    assert int(tb.tile_count.sum()) == valid.sum() == int(tb.num_instances)
+    # depths within a tile ascending
+    gid = np.array(tb.gauss_id)
+    depth = np.array(pre.depth)
+    for t in np.unique(tids[valid])[:20]:
+        sel = gid[tids == t]
+        d = depth[sel]
+        assert (np.diff(d) >= -1e-6).all()
+
+
+def test_tiled_matches_oracle():
+    scene, cam = small_scene(n=400)
+    out_o = render(*scene, cam, render_geo=True, config=RasterConfig(backend="oracle"))
+    out_t = render(
+        *scene, cam, render_geo=True, config=RasterConfig(backend="jnp", max_instances=1 << 15)
+    )
+    np.testing.assert_allclose(out_t["render"], out_o["render"], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(out_t["invdepth"], out_o["invdepth"], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(out_t["alpha"], out_o["alpha"], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(out_t["T_final"], out_o["T_final"], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        out_t["rendered_normal"], out_o["rendered_normal"], atol=3e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        out_t["rendered_distance"], out_o["rendered_distance"], atol=3e-4, rtol=1e-3
+    )
+    # observation counters identical (integer-exact)
+    np.testing.assert_array_equal(out_t["out_observe"], out_o["out_observe"])
+
+
+def test_tiled_matches_oracle_with_background():
+    scene, cam = small_scene(n=150, seed=3)
+    bg = jnp.array([0.2, 0.4, 0.6])
+    out_o = render(*scene, cam, background=bg, config=RasterConfig(backend="oracle"))
+    out_t = render(*scene, cam, background=bg, config=RasterConfig(max_instances=1 << 14))
+    np.testing.assert_allclose(out_t["render"], out_o["render"], atol=2e-4, rtol=1e-3)
+
+
+def test_gradients_match_oracle():
+    scene, cam = small_scene(n=120, h=48, w=48, seed=1)
+    target = jnp.zeros((3, 48, 48))
+
+    def loss_fn(backend):
+        cfg = RasterConfig(backend=backend, max_instances=1 << 14)
+
+        def f(means, scales, quats, opac, shs):
+            out = render(means, scales, quats, opac, shs, cam, config=cfg)
+            return jnp.mean((out["render"] - target) ** 2)
+
+        return f
+
+    args = tuple(scene)
+    g_o = jax.grad(loss_fn("oracle"), argnums=(0, 1, 2, 3, 4))(*args)
+    g_t = jax.grad(loss_fn("jnp"), argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["means", "scales", "quats", "opacity", "shs"]
+    for name, a, b in zip(names, g_o, g_t):
+        a, b = np.array(a), np.array(b)
+        assert np.isfinite(a).all() and np.isfinite(b).all(), name
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=5e-3, err_msg=name)
+    # gradients are non-trivial
+    assert np.abs(np.array(g_t[0])).max() > 0
+
+
+def test_gradient_finite_differences():
+    # spot-check d(loss)/d(opacity) against central differences
+    scene, cam = small_scene(n=40, h=32, w=32, seed=2)
+    target = jnp.zeros((3, 32, 32))
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 12)
+
+    def f(opac):
+        out = render(scene.means3d, scene.scales, scene.quats, opac, scene.shs, cam, config=cfg)
+        return jnp.mean((out["render"] - target) ** 2)
+
+    g = np.array(jax.grad(f)(scene.opacities))
+    eps = 1e-3
+    rng = np.random.RandomState(0)
+    idxs = rng.choice(40, size=8, replace=False)
+    for i in idxs:
+        op = np.array(scene.opacities)
+        op_p, op_m = op.copy(), op.copy()
+        op_p[i] += eps
+        op_m[i] -= eps
+        fd = (float(f(jnp.array(op_p))) - float(f(jnp.array(op_m)))) / (2 * eps)
+        assert abs(fd - g[i]) < 5e-3 * max(1.0, abs(fd)), (i, fd, g[i])
+
+
+def test_overflow_reported():
+    scene, cam = small_scene(n=500)
+    pre = preprocess_gaussians(*scene, cam)
+    ty, tx = tile_grid(cam.height, cam.width)
+    tb_full = bin_gaussians(pre, ty, tx, max_instances=1 << 15)
+    tiny = 64
+    tb = bin_gaussians(pre, ty, tx, max_instances=tiny)
+    assert int(tb.overflow) == int(tb_full.num_instances) - tiny
+
+
+def test_instance_budget_truncation_still_renders():
+    scene, cam = small_scene(n=500)
+    out = render(*scene, cam, config=RasterConfig(max_instances=256))
+    assert np.isfinite(np.array(out["render"])).all()
