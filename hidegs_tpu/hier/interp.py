@@ -1,0 +1,103 @@
+"""Hierarchy render path: parent/child interpolation + skybox concat.
+
+JAX equivalent of `render_post` with interp_python=True
+(gaussian_renderer/__init__.py:217-324): attributes of each selected node are
+lerped with its parent's by the smooth LOD weight t (rotation sign-aligned
+first), the skybox tail is appended with t=1, and the LOD alpha correction
+α ← t·α + (1−t)·(1−(1−α)^(1/kids)) (forward.cu:547-556) is applied to the
+interpolated opacity. The result feeds the standard rasterizer; because this
+is ordinary differentiable JAX, the reference's hand-written hierarchy
+backward (parent gradient reassignment, backward.cu:459-495) falls out of
+autodiff of these gathers/lerps.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from hidegs_tpu.hier.lod import HierCut, hierarchy_opacity_correction
+
+
+class InterpolatedGaussians(NamedTuple):
+    means3d: jnp.ndarray
+    scales: jnp.ndarray
+    quats: jnp.ndarray
+    opacities: jnp.ndarray
+    shs: jnp.ndarray
+
+
+def interpolate_cut(
+    cut: HierCut,
+    means3d: jnp.ndarray,  # (P, 3)
+    scales: jnp.ndarray,  # (P, 3) ACTIVATED
+    quats: jnp.ndarray,  # (P, 4)
+    opacities: jnp.ndarray,  # (P,) ACTIVATED
+    shs: jnp.ndarray,  # (P, 16, 3)
+    skybox_count: int = 0,
+) -> InterpolatedGaussians:
+    """Build the (B [+ skybox],) rendering arrays for one LOD cut.
+
+    Invalid budget slots get opacity 0 (render-culled). Skybox points are the
+    LAST `skybox_count` gaussians (the reference keeps them at the tail,
+    render_post:300-313).
+    """
+    P = means3d.shape[0]
+    ri = jnp.minimum(cut.render_indices, P - 1)
+    pi = jnp.minimum(cut.parent_indices, P - 1)
+    t = cut.ts[:, None]
+
+    m = t * means3d[ri] + (1 - t) * means3d[pi]
+    s = t * scales[ri] + (1 - t) * scales[pi]
+    sh = t[..., None] * shs[ri] + (1 - t[..., None]) * shs[pi]
+
+    rot_c = quats[ri]
+    rot_p = quats[pi]
+    sign = jnp.where(jnp.sum(rot_c * rot_p, axis=-1, keepdims=True) < 0, -1.0, 1.0)
+    q = t * rot_c + (1 - t) * rot_p * sign
+
+    op = cut.ts * opacities[ri] + (1 - cut.ts) * opacities[pi]
+    op = hierarchy_opacity_correction(op, cut.ts, cut.kids)
+    op = jnp.where(cut.valid, op, 0.0)
+
+    if skybox_count > 0:
+        sky = slice(P - skybox_count, P)
+        m = jnp.concatenate([m, means3d[sky]])
+        s = jnp.concatenate([s, scales[sky]])
+        q = jnp.concatenate([q, quats[sky]])
+        sh = jnp.concatenate([sh, shs[sky]])
+        op = jnp.concatenate([op, opacities[sky]])
+
+    return InterpolatedGaussians(m, s, q, op, sh)
+
+
+def render_hierarchy(
+    cut: HierCut,
+    means3d,
+    scales,
+    quats,
+    opacities,
+    shs,
+    cam,
+    skybox_count: int = 0,
+    background: Optional[jnp.ndarray] = None,
+    render_geo: bool = False,
+    config=None,
+    active_sh_degree=3,
+):
+    """render_post equivalent: interpolate the cut, then the standard render."""
+    from hidegs_tpu.raster.api import RasterConfig, render
+
+    ig = interpolate_cut(cut, means3d, scales, quats, opacities, shs, skybox_count)
+    return render(
+        ig.means3d,
+        ig.scales,
+        ig.quats,
+        ig.opacities,
+        ig.shs,
+        cam,
+        background=background,
+        active_sh_degree=active_sh_degree,
+        render_geo=render_geo,
+        config=config or RasterConfig(),
+    )

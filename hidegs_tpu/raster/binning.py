@@ -31,6 +31,18 @@ from hidegs_tpu.raster.preprocess import PreprocessedGaussians
 TILE = 16  # pixels per tile side (config.h:16-17 BLOCK_X/BLOCK_Y)
 
 
+class AlignedBinning(NamedTuple):
+    """Chunk-aligned instance layout for the Pallas kernels: every tile's
+    span starts at a multiple of `chunk` (padding slots carry gauss_id = N),
+    so per-tile DMA loads are aligned and per-tile backward gradient stores
+    are disjoint at chunk granularity."""
+
+    gauss_id: jnp.ndarray  # (I_aligned,) int32 (N = padding)
+    tile_start: jnp.ndarray  # (num_tiles,) int32, multiples of chunk
+    tile_count: jnp.ndarray  # (num_tiles,) int32 REAL instance counts
+    src_slot: jnp.ndarray  # (I,) int32: original sorted instance → aligned slot
+
+
 class TileBinning(NamedTuple):
     gauss_id: jnp.ndarray  # (I,) int32 instance → gaussian index (N = invalid)
     tile_id: jnp.ndarray  # (I,) int32 instance → tile (num_tiles = invalid sentinel)
@@ -112,4 +124,38 @@ def bin_gaussians(
         tile_count=tile_end - tile_start,
         num_instances=total.astype(jnp.int32),
         overflow=jnp.maximum(total - max_instances, 0).astype(jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("num_tiles", "chunk", "aligned_size"))
+def align_binning(
+    tb: TileBinning, n_gaussians: int, num_tiles: int, chunk: int, aligned_size: int
+) -> AlignedBinning:
+    """Re-layout the sorted instance list so each tile's span is chunk-aligned.
+
+    `aligned_size` must be ≥ I + num_tiles*chunk (static); padding slots get
+    gauss_id = n_gaussians (rendered with α=0 by the kernels).
+    """
+    I = tb.gauss_id.shape[0]
+    padded = ((tb.tile_count + chunk - 1) // chunk) * chunk  # (T,)
+    astart = jnp.cumsum(padded) - padded  # exclusive cumsum, multiples of chunk
+
+    slots = jnp.arange(aligned_size, dtype=jnp.int32)
+    t_of = jnp.searchsorted(astart, slots, side="right").astype(jnp.int32) - 1
+    t_of = jnp.clip(t_of, 0, num_tiles - 1)
+    local = slots - astart[t_of]
+    valid = local < tb.tile_count[t_of]
+    src = jnp.clip(tb.tile_start[t_of] + local, 0, I - 1)
+    gid = jnp.where(valid, tb.gauss_id[src], n_gaussians)
+
+    # original sorted instance → aligned slot (for mapping gradients back)
+    tid_cl = jnp.minimum(tb.tile_id, num_tiles - 1)
+    src_slot = astart[tid_cl] + (jnp.arange(I, dtype=jnp.int32) - tb.tile_start[tid_cl])
+    src_slot = jnp.where(tb.tile_id < num_tiles, src_slot, aligned_size - 1)
+
+    return AlignedBinning(
+        gauss_id=gid,
+        tile_start=astart.astype(jnp.int32),
+        tile_count=tb.tile_count,
+        src_slot=src_slot.astype(jnp.int32),
     )

@@ -1,0 +1,165 @@
+"""Hierarchy subsystem: IO roundtrip, builder invariants, LOD cut, rendering."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
+from hidegs_tpu.hier import io as hio
+from hidegs_tpu.hier.build import _build_hierarchy_py, _load_native, build_hierarchy
+from hidegs_tpu.hier.interp import interpolate_cut, render_hierarchy
+from hidegs_tpu.hier.lod import expand_to_size, node_size
+from hidegs_tpu.raster.api import RasterConfig, render
+from hidegs_tpu.train.losses import psnr
+
+
+def toy_leaves(n=64, seed=0):
+    s = make_toy_gaussians(n, seed=seed)
+    return (
+        np.asarray(s.means3d),
+        np.asarray(s.quats),
+        np.asarray(s.scales),
+        np.asarray(s.opacities),
+        np.asarray(s.shs),
+    )
+
+
+def check_invariants(h: hio.Hierarchy, n_leaves: int):
+    nodes = h.nodes
+    N = len(nodes)
+    # exactly n_leaves depth-0 nodes, each with 1 leaf gaussian
+    leaf_nodes = nodes[nodes[:, hio.DEPTH] == 0]
+    assert len(leaf_nodes) == n_leaves
+    assert (leaf_nodes[:, hio.COUNT_LEAFS] == 1).all()
+    assert (leaf_nodes[:, hio.COUNT_CHILDREN] == 0).all()
+    # internal nodes have 1 merged gaussian and 2 children
+    internal = nodes[nodes[:, hio.DEPTH] > 0]
+    assert (internal[:, hio.COUNT_MERGED] == 1).all()
+    assert (internal[:, hio.COUNT_CHILDREN] == 2).all()
+    # root
+    assert nodes[0, hio.PARENT] == -1
+    # parent pointers consistent
+    for i in range(N):
+        sc, cc = nodes[i, hio.START_CHILDREN], nodes[i, hio.COUNT_CHILDREN]
+        for c in range(cc):
+            assert nodes[sc + c, hio.PARENT] == i
+    # total gaussians = leaves + merged
+    assert h.num_points == n_leaves + len(internal)
+    # boxes contain positions of own gaussians
+    s0, cl = nodes[0, hio.START], nodes[0, hio.COUNT_LEAFS] + nodes[0, hio.COUNT_MERGED]
+    assert np.isfinite(h.boxes).all()
+    assert (h.boxes[0, 0, :3] - 1e-4 <= h.pos.min(0)).all()
+
+
+def test_python_builder_invariants():
+    pos, rot, scale, alpha, shs = toy_leaves(32)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    check_invariants(h, 32)
+    # merged opacity within (0, 1]
+    assert (h.alpha > 0).all() and (h.alpha <= 1.0 + 1e-6).all()
+
+
+def test_native_builder_matches_python():
+    if _load_native() is None:
+        pytest.skip("no C++ toolchain")
+    pos, rot, scale, alpha, shs = toy_leaves(48, seed=1)
+    hc = build_hierarchy(pos, rot, scale, alpha, shs, use_native=True)
+    hp = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    check_invariants(hc, 48)
+    assert hc.num_points == hp.num_points
+    assert hc.num_nodes == hp.num_nodes
+    np.testing.assert_array_equal(hc.nodes, hp.nodes)
+    # same tree → same gaussians (eigendecomposition sign/order may differ
+    # slightly; compare positions/opacities/scale products)
+    np.testing.assert_allclose(hc.pos, hp.pos, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(hc.alpha, hp.alpha, rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(
+        np.sort(hc.scale, axis=1), np.sort(hp.scale, axis=1), rtol=1e-2, atol=1e-3
+    )
+
+
+def test_hier_io_roundtrip(tmp_path):
+    pos, rot, scale, alpha, shs = toy_leaves(16, seed=2)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    p = str(tmp_path / "test.hier")
+    hio.write_hier(p, h)
+    h2 = hio.read_hier(p)
+    np.testing.assert_allclose(h2.pos, h.pos, rtol=1e-6)
+    np.testing.assert_array_equal(h2.nodes, h.nodes)
+    np.testing.assert_allclose(h2.boxes, h.boxes, rtol=1e-6)
+    np.testing.assert_allclose(h2.shs, h.shs.astype(np.float32), rtol=1e-6)
+
+
+def test_expand_to_size_fine_selects_leaves():
+    pos, rot, scale, alpha, shs = toy_leaves(32, seed=3)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    cam = ring_camera(0, height=64, width=64)
+    vp = jnp.asarray(np.asarray(cam.camera_center))
+    # tiny target size → every leaf selected at t=1
+    cut = expand_to_size(
+        jnp.asarray(h.nodes), jnp.asarray(h.boxes), 1e-9, vp, budget=128,
+        num_points=h.num_points,
+    )
+    assert int(cut.num_selected) == 32
+    assert bool((cut.ts[cut.valid] == 1.0).all())
+    # coarse target → fewer selected
+    cut2 = expand_to_size(
+        jnp.asarray(h.nodes), jnp.asarray(h.boxes), 1e9, vp, budget=128,
+        num_points=h.num_points,
+    )
+    assert int(cut2.num_selected) <= 2
+
+
+def test_hierarchy_render_matches_leaf_render():
+    n = 48
+    scene = make_toy_gaussians(n, seed=4)
+    h = _build_hierarchy_py(
+        np.asarray(scene.means3d), np.asarray(scene.quats), np.asarray(scene.scales),
+        np.asarray(scene.opacities), np.asarray(scene.shs),
+    )
+    cam = ring_camera(0, height=64, width=64)
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 13)
+    vp = jnp.asarray(np.asarray(cam.camera_center))
+    cut = expand_to_size(
+        jnp.asarray(h.nodes), jnp.asarray(h.boxes), 1e-9, vp, budget=128,
+        num_points=h.num_points,
+    )
+    out_h = render_hierarchy(
+        cut,
+        jnp.asarray(h.pos),
+        jnp.exp(jnp.asarray(h.scale)),
+        jnp.asarray(h.rot),
+        jnp.asarray(h.alpha),
+        jnp.asarray(h.shs),
+        cam,
+        config=cfg,
+    )
+    out_l = render(*scene, cam, config=cfg)
+    # at the finest cut the hierarchy render is the leaf render (same set of
+    # gaussians, t=1 so no parent blending)
+    p = float(psnr(out_h["render"], out_l["render"]))
+    assert p > 40, p
+
+
+def test_coarse_cut_still_renders():
+    n = 64
+    scene = make_toy_gaussians(n, seed=5)
+    h = _build_hierarchy_py(
+        np.asarray(scene.means3d), np.asarray(scene.quats), np.asarray(scene.scales),
+        np.asarray(scene.opacities), np.asarray(scene.shs),
+    )
+    cam = ring_camera(0, height=64, width=64)
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 13)
+    vp = jnp.asarray(np.asarray(cam.camera_center))
+    # mid-scale target: mixes internal + leaf nodes with 0<t≤1
+    cut = expand_to_size(
+        jnp.asarray(h.nodes), jnp.asarray(h.boxes), 0.02, vp, budget=256,
+        num_points=h.num_points,
+    )
+    assert 0 < int(cut.num_selected) <= 2 * n
+    out = render_hierarchy(
+        cut, jnp.asarray(h.pos), jnp.exp(jnp.asarray(h.scale)), jnp.asarray(h.rot),
+        jnp.asarray(h.alpha), jnp.asarray(h.shs), cam, config=cfg,
+    )
+    img = np.asarray(out["render"])
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01
