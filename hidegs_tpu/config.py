@@ -1,0 +1,151 @@
+"""Config / flag system.
+
+Mirror of the reference's reflection-based ParamGroup argparse setup
+(arguments/__init__.py:16-159): dataclass fields become CLI flags
+automatically, a `cfg_args` snapshot is written next to checkpoints, and
+`get_combined_args` merges it back on eval. Defaults match
+ModelParams/PipelineParams/OptimizationParams exactly where they exist.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields
+from typing import Optional
+
+
+@dataclass
+class ModelConfig:
+    """ModelParams (arguments/__init__.py:47-79)."""
+
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    depths: str = ""
+    masks: str = ""
+    resolution: int = -1
+    sh_degree: int = 3
+    white_background: bool = False
+    eval: bool = False
+    hierarchy: str = ""  # path to .hier to load
+    pretrained: str = ""  # pretrained point cloud dir
+    skybox_num: int = 0
+    scaffold_file: str = ""
+    # multi-view graph (arguments/__init__.py:72-79)
+    multi_view_num: int = 8
+    multi_view_max_angle: float = 30.0
+    multi_view_min_dis: float = 0.01
+    multi_view_max_dis: float = 1.5
+
+
+@dataclass
+class PipelineConfig:
+    """PipelineParams (arguments/__init__.py:81-86) + TPU raster knobs."""
+
+    antialiasing: bool = True
+    raster_backend: str = "jnp"  # "jnp" | "pallas" | "oracle"
+    max_instances: int = 1 << 21
+    capacity: int = 0  # gaussian buffer capacity; 0 → auto from init size
+
+
+@dataclass
+class OptimizationConfig:
+    """OptimizationParams (arguments/__init__.py:88-137)."""
+
+    iterations: int = 30_000
+    position_lr_init: float = 1.6e-4
+    position_lr_final: float = 1.6e-6
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 2.5e-3
+    opacity_lr: float = 5e-2
+    scaling_lr: float = 5e-3
+    rotation_lr: float = 1e-3
+    exposure_lr_init: float = 1e-3
+    exposure_lr_final: float = 1e-4
+    percent_dense: float = 1e-4
+    lambda_dssim: float = 0.2
+    densification_interval: int = 300
+    opacity_reset_interval: int = 3_000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 0.015
+    densify_abs_grad_threshold: float = 0.0008
+    min_opacity: float = 0.005
+    max_all_points: int = 6_000_000
+    # depth supervision (arguments/__init__.py:113-116)
+    depth_l1_weight_init: float = 1.0
+    depth_l1_weight_final: float = 0.01
+    depth_from_iter: int = 7_000
+    # geometry (arguments/__init__.py:118-135)
+    single_view_weight: float = 0.015
+    single_view_weight_from_iter: int = 7_000
+    multi_view_ncc_weight: float = 0.15
+    multi_view_geo_weight: float = 0.03
+    multi_view_weight_from_iter: int = 7_000
+    multi_view_patch_size: int = 3
+    multi_view_sample_num: int = 102_400
+    multi_view_pixel_noise_th: float = 1.0
+    # frequency regularization (scripts/frequency_regularization.py:1579-1595)
+    lambda_freq: float = 0.001
+    lambda_scale: float = 0.005
+    freq_warmup_iterations: int = 1_000
+    # exposure
+    use_exposure: bool = False
+
+
+def add_group(parser: argparse.ArgumentParser, cfg, prefix: str = ""):
+    """Reflect dataclass fields into argparse flags (ParamGroup:19-45)."""
+    for f in fields(cfg):
+        name = f"--{prefix}{f.name}"
+        default = getattr(cfg, f.name)
+        if f.type in (bool, "bool") or isinstance(default, bool):
+            parser.add_argument(name, action="store_true" if not default else "store_false", default=default)
+        else:
+            parser.add_argument(name, type=type(default), default=default)
+
+
+def extract_group(args: argparse.Namespace, cls, prefix: str = ""):
+    kwargs = {}
+    for f in fields(cls):
+        key = f"{prefix}{f.name}"
+        if hasattr(args, key):
+            kwargs[f.name] = getattr(args, key)
+    return cls(**kwargs)
+
+
+def save_cfg_args(model_path: str, model: ModelConfig, pipe: PipelineConfig, opt: OptimizationConfig):
+    """cfg_args snapshot (arguments/__init__.py:144-153 writes a Namespace
+    repr; we write JSON, read back by get_combined_args)."""
+    os.makedirs(model_path, exist_ok=True)
+    with open(os.path.join(model_path, "cfg_args.json"), "w") as f:
+        json.dump(
+            {
+                "model": dataclasses.asdict(model),
+                "pipeline": dataclasses.asdict(pipe),
+                "optimization": dataclasses.asdict(opt),
+            },
+            f,
+            indent=1,
+        )
+
+
+def get_combined_args(model_path: str, cli_model: Optional[ModelConfig] = None):
+    """Load the saved training config and overlay non-default CLI values
+    (arguments/__init__.py:139-159)."""
+    path = os.path.join(model_path, "cfg_args.json")
+    with open(path) as f:
+        saved = json.load(f)
+    model = ModelConfig(**saved["model"])
+    pipe = PipelineConfig(**saved["pipeline"])
+    opt = OptimizationConfig(**saved["optimization"])
+    if cli_model is not None:
+        defaults = ModelConfig()
+        for f in fields(ModelConfig):
+            v = getattr(cli_model, f.name)
+            if v != getattr(defaults, f.name):
+                setattr(model, f.name, v)
+    model.model_path = model_path
+    return model, pipe, opt

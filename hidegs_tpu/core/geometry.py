@@ -7,6 +7,7 @@ gather loops so XLA fuses everything).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from hidegs_tpu.core.camera_math import CameraParams, depth_to_points_cam
@@ -26,11 +27,12 @@ def depth_to_normal_cam(depth: jnp.ndarray, cam: CameraParams, offset: int = 1) 
     dx = pts[o:-o, 2 * o :, :] - pts[o:-o, : -2 * o, :]  # (H-2o, W-2o, 3)
     dy = pts[2 * o :, o:-o, :] - pts[: -2 * o, o:-o, :]
     n = jnp.cross(dx, dy)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    # eps-inside-rsqrt: smooth gradient at the zero vectors of empty pixels
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
     # orient towards camera: camera at origin, points have +z; normal should
     # face the camera (n · p < 0)
-    flip = jnp.sign(-jnp.sum(n * pts[o:-o, o:-o, :], axis=-1, keepdims=True))
-    n = n * jnp.where(flip == 0, 1.0, flip)
+    flip = jnp.where(jnp.sum(n * pts[o:-o, o:-o, :], axis=-1, keepdims=True) > 0, -1.0, 1.0)
+    n = n * flip
     out = jnp.zeros((H, W, 3), dtype=depth.dtype)
     return out.at[o:-o, o:-o, :].set(n)
 
@@ -41,20 +43,27 @@ def normal_to_world(normal_cam: jnp.ndarray, cam: CameraParams) -> jnp.ndarray:
 
 
 def plane_depth_from_blend(
-    blended_distance: jnp.ndarray, blended_normal: jnp.ndarray, cam: CameraParams, eps: float = 1e-8
+    blended_distance: jnp.ndarray,
+    blended_normal: jnp.ndarray,
+    cam: CameraParams,
+    eps: float = 1e-8,
+    max_depth: float = 1e4,
 ) -> jnp.ndarray:
     """Per-pixel plane-intersection depth from alpha-blended (distance, normal).
 
     Mirrors forward.cu:607: depth = distance / -(normal · ray + eps), where
     `distance` is the blended signed plane offset -(n·p) and ray the unit-z
-    pixel ray. Shapes: (H, W) and (H, W, 3) → (H, W).
+    pixel ray. Shapes: (H, W) and (H, W, 3) → (H, W). The output is clamped
+    to [-max_depth, max_depth]: empty pixels have near-zero normals, and the
+    unclamped quotient overflows f32 downstream (depth→normal squares it).
     """
     from hidegs_tpu.core.camera_math import pixel_rays
 
     rays = pixel_rays(cam)
     denom = -(jnp.sum(blended_normal * rays, axis=-1) + eps)
     sign = jnp.where(denom >= 0, 1.0, -1.0)
-    return blended_distance / (sign * jnp.maximum(jnp.abs(denom), eps))
+    d = blended_distance / (sign * jnp.maximum(jnp.abs(denom), eps))
+    return jnp.clip(d, -max_depth, max_depth)
 
 
 def patch_offsets(half_window: int) -> jnp.ndarray:

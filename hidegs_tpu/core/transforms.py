@@ -7,11 +7,15 @@ XLA maps it onto the VPU/MXU; no per-element loops).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    # sqrt(Σv²+eps) rather than max(‖v‖,eps): jnp.linalg.norm has a NaN
+    # gradient at exactly 0, and zero vectors do occur (empty pixels, padded
+    # slots) — the eps-inside-sqrt form is smooth everywhere.
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=axis, keepdims=True) + eps)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

@@ -143,31 +143,34 @@ def read_images_text(path: str) -> Dict[int, ColmapImage]:
     return out
 
 
-def read_points3d_binary(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (xyz (N,3) f64, rgb (N,3) u8, errors (N,))."""
+def read_points3d_binary(path: str):
+    """Returns (xyz (N,3) f64, rgb (N,3) u8, errors (N,), ids (N,) i64)."""
     with open(path, "rb") as f:
         (num,) = _read(f, 8, "Q")
         xyz = np.empty((num, 3))
         rgb = np.empty((num, 3), np.uint8)
         err = np.empty(num)
+        ids = np.empty(num, np.int64)
         for i in range(num):
             data = _read(f, 43, "QdddBBBd")
+            ids[i] = data[0]
             xyz[i] = data[1:4]
             rgb[i] = data[4:7]
             err[i] = data[7]
             (track_len,) = _read(f, 8, "Q")
             f.seek(8 * track_len, os.SEEK_CUR)
-    return xyz, rgb, err
+    return xyz, rgb, err, ids
 
 
-def read_points3d_text(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    xyz, rgb, err = [], [], []
+def read_points3d_text(path: str):
+    xyz, rgb, err, ids = [], [], [], []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
             el = line.split()
+            ids.append(int(el[0]))
             xyz.append([float(x) for x in el[1:4]])
             rgb.append([int(x) for x in el[4:7]])
             err.append(float(el[7]))
@@ -175,6 +178,7 @@ def read_points3d_text(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         np.array(xyz).reshape(-1, 3),
         np.array(rgb, np.uint8).reshape(-1, 3),
         np.array(err),
+        np.array(ids, np.int64),
     )
 
 

@@ -100,7 +100,7 @@ def load_colmap_scene(
     sparse = os.path.join(source_path, "sparse", "0")
     if not os.path.isdir(sparse):
         sparse = os.path.join(source_path, "sparse")
-    cams, imgs, (xyz, rgb, _err) = colmap.read_model(sparse)
+    cams, imgs, (xyz, rgb, _err, _ids) = colmap.read_model(sparse)
 
     depth_params = None
     dp_path = os.path.join(source_path, "sparse", "0", "depth_params.json")

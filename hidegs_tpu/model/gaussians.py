@@ -164,6 +164,35 @@ def make_skybox(
     return pts.astype(np.float32), colors.astype(np.float32)
 
 
+def prepend_raw_points(state: GaussianState, raw: dict, protected: bool = True) -> GaussianState:
+    """Insert raw-parameter points (e.g. a border scaffold,
+    gaussian_model.py:258-274) into dead slots at the END of the buffer so
+    they do not disturb the index layout of the initial cloud. Raises if the
+    capacity cannot hold them."""
+    n_new = len(raw["xyz"])
+    C = state.capacity
+    alive = np.asarray(state.alive)
+    dead_tail = np.where(~alive)[0]
+    if len(dead_tail) < n_new:
+        raise ValueError(f"capacity {C} cannot hold {n_new} extra scaffold points")
+    slots = jnp.asarray(dead_tail[-n_new:])
+
+    p = state.params
+    new_params = GaussianParams(
+        xyz=p.xyz.at[slots].set(jnp.asarray(raw["xyz"], jnp.float32)),
+        sh_dc=p.sh_dc.at[slots].set(jnp.asarray(raw["sh_dc"], jnp.float32)),
+        sh_rest=p.sh_rest.at[slots].set(jnp.asarray(raw["sh_rest"], jnp.float32)),
+        scaling=p.scaling.at[slots].set(jnp.asarray(raw["scaling"], jnp.float32)),
+        rotation=p.rotation.at[slots].set(jnp.asarray(raw["rotation"], jnp.float32)),
+        opacity=p.opacity.at[slots].set(jnp.asarray(raw["opacity"], jnp.float32).reshape(-1)),
+    )
+    return state._replace(
+        params=new_params,
+        alive=state.alive.at[slots].set(True),
+        protected=state.protected.at[slots].set(protected),
+    )
+
+
 def oneup_sh_degree(state: GaussianState, max_degree: int = 3) -> GaussianState:
     """SH warm-up schedule (gaussian_model.py:168-170)."""
     return state._replace(

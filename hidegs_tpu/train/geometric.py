@@ -81,8 +81,9 @@ def multi_view_losses(
 
     depth_s, dep_ok = bilinear_sample(plane_depth, uv)
     normal_s, _ = bilinear_sample(jnp.moveaxis(normal_cam, 0, -1), uv)  # (S, 3)
-    n_norm = jnp.linalg.norm(normal_s, axis=-1)
-    normal_u = normal_s / jnp.maximum(n_norm[:, None], 1e-8)
+    n_sq = jnp.sum(normal_s * normal_s, axis=-1)
+    n_norm = jnp.sqrt(n_sq + 1e-12)  # smooth at 0 (empty pixels)
+    normal_u = normal_s * jax.lax.rsqrt(n_sq + 1e-12)[:, None]
 
     # plane distance in the ref camera frame: d = n · X, X = ray * depth
     x = (uv[:, 0] - ref_cam.cx) / ref_cam.fx
@@ -118,7 +119,8 @@ def multi_view_losses(
     X_src2 = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1) * src_depth_s[:, None]
     X_ref2 = (X_src2 - t_rel) @ R_rel
     uv_back, z_back = project_points(X_ref2, ref_cam)
-    pix_err = jnp.linalg.norm(uv_back - uv, axis=-1)
+    duv = uv_back - uv
+    pix_err = jnp.sqrt(jnp.sum(duv * duv, axis=-1) + 1e-12)  # smooth at 0
     valid = valid & (z_src > 1e-3) & src_dep_ok & (src_depth_s > 1e-3) & (z_back > 1e-3)
     geo_ok = valid & (pix_err < pixel_noise_th)
 

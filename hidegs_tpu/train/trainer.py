@@ -1,0 +1,266 @@
+"""Scene-level trainer — the `train.py` the reference never shipped,
+reconstructed per SURVEY §3.3 and runnable as `python -m hidegs_tpu.train`.
+
+Glue between the data layer (COLMAP scene, neighbor graph), the model layer
+(padded gaussian state + skybox + KNN init) and the jitted train step. All
+host-side: shuffled view order, multi-view source-depth rendering, periodic
+densify/opacity-reset/SH schedules, checkpoints, metric logging.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hidegs_tpu.config import (
+    ModelConfig,
+    OptimizationConfig,
+    PipelineConfig,
+    add_group,
+    extract_group,
+    save_cfg_args,
+)
+from hidegs_tpu.model.densify import DensifyConfig
+from hidegs_tpu.model.gaussians import GaussianState, init_from_points, make_skybox
+from hidegs_tpu.model.knn import initial_scales
+from hidegs_tpu.model.schedules import LRConfig
+from hidegs_tpu.raster.api import RasterConfig, render, suggest_max_instances
+from hidegs_tpu.train.checkpoint import save_train_state
+from hidegs_tpu.train.geometric import MultiViewBatch
+from hidegs_tpu.train.loop import (
+    TrainConfig,
+    TrainState,
+    ViewBatch,
+    init_train_state,
+    maybe_host_side_schedule,
+    train_step,
+)
+from hidegs_tpu.train.losses import psnr
+
+
+def train_config_from_opt(opt: OptimizationConfig, pipe: PipelineConfig, n_init: int) -> TrainConfig:
+    max_inst = pipe.max_instances or suggest_max_instances(n_init)
+    return TrainConfig(
+        iterations=opt.iterations,
+        lambda_dssim=opt.lambda_dssim,
+        lr=LRConfig(
+            position_lr_init=opt.position_lr_init,
+            position_lr_final=opt.position_lr_final,
+            position_lr_delay_mult=opt.position_lr_delay_mult,
+            position_lr_max_steps=opt.position_lr_max_steps,
+            feature_lr=opt.feature_lr,
+            opacity_lr=opt.opacity_lr,
+            scaling_lr=opt.scaling_lr,
+            rotation_lr=opt.rotation_lr,
+            exposure_lr_init=opt.exposure_lr_init,
+            exposure_lr_final=opt.exposure_lr_final,
+        ),
+        depth_l1_weight_init=opt.depth_l1_weight_init,
+        depth_l1_weight_final=opt.depth_l1_weight_final,
+        depth_schedule_from=opt.depth_from_iter,
+        single_view_weight=opt.single_view_weight,
+        single_view_from=opt.single_view_weight_from_iter,
+        multi_view_ncc_weight=opt.multi_view_ncc_weight,
+        multi_view_geo_weight=opt.multi_view_geo_weight,
+        multi_view_from=opt.multi_view_weight_from_iter,
+        multi_view_sample_num=min(opt.multi_view_sample_num, 16384),
+        multi_view_patch_half=max(opt.multi_view_patch_size // 2, 1),
+        multi_view_pixel_noise_th=opt.multi_view_pixel_noise_th,
+        lambda_freq=opt.lambda_freq,
+        lambda_scale=opt.lambda_scale,
+        freq_warmup=opt.freq_warmup_iterations,
+        densify_from=opt.densify_from_iter,
+        densify_until=opt.densify_until_iter,
+        densify_interval=opt.densification_interval,
+        opacity_reset_interval=opt.opacity_reset_interval,
+        densify=DensifyConfig(
+            grad_threshold=opt.densify_grad_threshold,
+            abs_grad_threshold=opt.densify_abs_grad_threshold,
+            min_opacity=opt.min_opacity,
+            percent_dense=opt.percent_dense,
+        ),
+        raster=RasterConfig(backend=pipe.raster_backend, max_instances=max_inst,
+                            antialias=pipe.antialiasing),
+    )
+
+
+def init_gaussians_from_scene(scene, model_cfg: ModelConfig, capacity: int) -> GaussianState:
+    pts = np.asarray(scene.info.points, np.float32)
+    cols = np.asarray(scene.info.colors, np.float32)
+    protected = None
+    scaffold = None
+    if model_cfg.scaffold_file:
+        # neighbor-chunk border scaffold (gaussian_model.py:235-274): raw
+        # params prepended below, protected from densify/prune/reset
+        from hidegs_tpu.utils.storage import load_scaffold
+
+        center_f = os.path.join(model_cfg.source_path, "center.txt")
+        extent_f = os.path.join(model_cfg.source_path, "extent.txt")
+        center = np.loadtxt(center_f).reshape(-1)[:3]
+        extent = np.loadtxt(extent_f).reshape(-1)[:3]
+        scaffold = load_scaffold(model_cfg.scaffold_file, center, extent)
+    if model_cfg.skybox_num > 0:
+        sky_pts, sky_cols = make_skybox(
+            model_cfg.skybox_num, scene.info.nerf_norm_center, scene.info.nerf_norm_radius
+        )
+        # skybox appended at the TAIL (reference keeps it addressable at the
+        # end, render_post:300-305)
+        pts = np.concatenate([pts, sky_pts])
+        cols = np.concatenate([cols, sky_cols])
+        protected = np.zeros(len(pts), bool)
+        protected[-model_cfg.skybox_num:] = True
+    knn = initial_scales(jnp.asarray(pts))
+    state = init_from_points(
+        jnp.asarray(pts),
+        jnp.asarray(cols),
+        capacity=capacity,
+        spatial_lr_scale=scene.info.nerf_norm_radius,
+        knn_scale=knn,
+        protected_mask=jnp.asarray(protected) if protected is not None else None,
+    )
+    if scaffold is not None:
+        from hidegs_tpu.model.gaussians import prepend_raw_points
+
+        state = prepend_raw_points(state, scaffold, protected=True)
+    return state
+
+
+def build_view_batch(cam, idx: int, cfg: TrainConfig, src_cam=None, src_depth=None):
+    mv = None
+    if src_cam is not None and src_depth is not None:
+        mv = MultiViewBatch(
+            src_image_gray=jnp.asarray(src_cam.grayscale()),
+            src_plane_depth=src_depth,
+            src_cam=src_cam.cam_params(),
+        )
+    return ViewBatch(
+        cam=cam.cam_params(),
+        image=jnp.asarray(cam.image),
+        image_idx=jnp.int32(idx),
+        invdepth=jnp.asarray(cam.invdepth) if cam.invdepth is not None and cam.depth_reliable else None,
+        depth_mask=None,
+        alpha_mask=jnp.asarray(cam.alpha_mask) if cam.alpha_mask is not None else None,
+        multi_view=mv,
+    )
+
+
+def render_plane_depth(ts: TrainState, cam_params, cfg: TrainConfig):
+    g = ts.gaussians
+    out = render(
+        jax.lax.stop_gradient(g.params.xyz),
+        g.scales,
+        g.quats,
+        g.opacities,
+        g.shs,
+        cam_params,
+        active_sh_degree=g.active_sh_degree,
+        render_geo=True,
+        config=cfg.raster,
+    )
+    return jax.lax.stop_gradient(out["plane_depth"])
+
+
+def train(
+    model_cfg: ModelConfig,
+    pipe_cfg: PipelineConfig,
+    opt_cfg: OptimizationConfig,
+    save_iterations=(7_000, 30_000),
+    log_every: int = 100,
+    scene=None,
+    seed: int = 0,
+):
+    """Full training run. Returns the final TrainState."""
+    if scene is None:
+        from hidegs_tpu.data.scene import load_scene
+
+        scene = load_scene(
+            model_cfg.source_path,
+            images=model_cfg.images,
+            depths=model_cfg.depths,
+            eval_split=model_cfg.eval,
+            resolution=model_cfg.resolution,
+            multi_view_num=model_cfg.multi_view_num,
+            multi_view_max_angle=model_cfg.multi_view_max_angle,
+            multi_view_min_dis=model_cfg.multi_view_min_dis,
+            multi_view_max_dis=model_cfg.multi_view_max_dis,
+            cache_all=len_cap(model_cfg),
+        )
+    n_views = len(scene.train_cameras)
+    assert n_views > 0, "no training cameras"
+
+    n_init = len(scene.info.points) + model_cfg.skybox_num
+    capacity = pipe_cfg.capacity or min(
+        max(1 << (int(np.ceil(np.log2(max(4 * n_init, 1 << 14)))) ), 1 << 14),
+        opt_cfg.max_all_points,
+    )
+    cfg = train_config_from_opt(opt_cfg, pipe_cfg, n_init)
+    state = init_gaussians_from_scene(scene, model_cfg, capacity)
+    ts = init_train_state(state, num_images=n_views, seed=seed)
+
+    if model_cfg.model_path:
+        save_cfg_args(model_cfg.model_path, model_cfg, pipe_cfg, opt_cfg)
+        scene.save_multi_view_json(os.path.join(model_cfg.model_path, "multi_view.json"))
+
+    rng = random.Random(seed)
+    order = []
+    t0 = time.time()
+    use_mv = cfg.multi_view_ncc_weight > 0 and scene.neighbors
+    for it in range(1, cfg.iterations + 1):
+        if not order:
+            order = list(range(n_views))
+            rng.shuffle(order)
+        vi = order.pop()
+        cam = scene.train_cameras[vi]
+
+        src_cam = src_depth = None
+        if use_mv and it >= cfg.multi_view_from and scene.neighbors.get(vi):
+            si = rng.choice(scene.neighbors[vi])
+            src_cam = scene.train_cameras[si]
+            src_depth = render_plane_depth(ts, src_cam.cam_params(), cfg)
+
+        batch = build_view_batch(cam, vi, cfg, src_cam, src_depth)
+        ts, metrics = train_step(ts, batch, cfg, use_exposure=opt_cfg.use_exposure)
+        ts, dens_info = maybe_host_side_schedule(ts, cfg, scene_extent=scene.extent)
+
+        if it % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            n_alive = int(ts.gaussians.alive.sum())
+            print(
+                f"[{it}/{cfg.iterations}] loss={m.get('total', 0):.4f} "
+                f"photo={m.get('photo', 0):.4f} alive={n_alive} "
+                f"({(time.time() - t0):.1f}s)",
+                flush=True,
+            )
+        if model_cfg.model_path and it in save_iterations:
+            d = save_train_state(
+                ts, os.path.join(model_cfg.model_path, "point_cloud"), it
+            )
+            print(f"saved checkpoint → {d}", flush=True)
+    return ts
+
+
+def len_cap(model_cfg) -> bool:
+    return True  # cache decoded images; revisit for very large scenes
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("hidegs_tpu trainer")
+    add_group(parser, ModelConfig())
+    add_group(parser, PipelineConfig())
+    add_group(parser, OptimizationConfig())
+    parser.add_argument("--save_iterations", type=int, nargs="+", default=[7_000, 30_000])
+    args = parser.parse_args(argv)
+    model_cfg = extract_group(args, ModelConfig)
+    pipe_cfg = extract_group(args, PipelineConfig)
+    opt_cfg = extract_group(args, OptimizationConfig)
+    train(model_cfg, pipe_cfg, opt_cfg, save_iterations=tuple(args.save_iterations))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,7 @@ def test_colmap_binary_roundtrip(tmp_path):
     sparse = str(tmp_path / "sparse" / "0")
     cams2 = colmap.read_cameras_binary(os.path.join(sparse, "cameras.bin"))
     imgs2 = colmap.read_images_binary(os.path.join(sparse, "images.bin"))
-    xyz2, rgb2, err2 = colmap.read_points3d_binary(os.path.join(sparse, "points3D.bin"))
+    xyz2, rgb2, err2, ids2 = colmap.read_points3d_binary(os.path.join(sparse, "points3D.bin"))
     assert cams2[1].model == "PINHOLE" and cams2[1].width == 640
     np.testing.assert_allclose(cams2[1].params, cams[1].params)
     for i in imgs:

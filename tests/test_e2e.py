@@ -1,0 +1,128 @@
+"""End-to-end: synthetic COLMAP scene on disk → trainer → checkpoint → eval."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax.numpy as jnp
+
+from hidegs_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
+from hidegs_tpu.data import colmap
+from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
+from hidegs_tpu.raster.api import RasterConfig, render
+
+H = W = 48
+N_VIEWS = 6
+
+
+@pytest.fixture(scope="module")
+def colmap_scene(tmp_path_factory):
+    """Render a toy gaussian cloud into a COLMAP-layout scene directory."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("scene")
+    sparse = root / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    images_dir = root / "images"
+    images_dir.mkdir()
+
+    scene = make_toy_gaussians(120, seed=11)
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 13)
+    cams = {1: colmap.ColmapCamera(1, "PINHOLE", W, H, np.array([0.9 * W, 0.9 * W, W / 2, H / 2]))}
+    imgs = {}
+    rng = np.random.RandomState(0)
+    for i in range(N_VIEWS):
+        cam = ring_camera(i, n_cams=N_VIEWS, height=H, width=W)
+        out = render(*scene, cam, config=cfg)
+        img = np.clip(np.asarray(out["render"]).transpose(1, 2, 0), 0, 1)
+        name = f"view_{i:03d}.png"
+        Image.fromarray((img * 255).astype(np.uint8)).save(images_dir / name)
+        from hidegs_tpu.core.transforms import rotmat_to_quat
+
+        q = np.asarray(rotmat_to_quat(cam.R))
+        imgs[i + 1] = colmap.ColmapImage(
+            i + 1, q, np.asarray(cam.t, np.float64), 1, name,
+            np.zeros((0, 2)), np.zeros((0,), np.int64),
+        )
+    # sparse points: subsample the true means with their colors
+    from hidegs_tpu.core.sh import sh_dc_to_rgb
+
+    pts = np.asarray(scene.means3d)[::2]
+    cols = np.clip(np.asarray(sh_dc_to_rgb(scene.shs[::2, 0, :])), 0, 1)
+    colmap.write_cameras_binary(cams, str(sparse / "cameras.bin"))
+    colmap.write_images_binary(imgs, str(sparse / "images.bin"))
+    colmap.write_points3d_binary(pts, (cols * 255).astype(np.uint8), str(sparse / "points3D.bin"))
+    return root
+
+
+def test_trainer_end_to_end(colmap_scene, tmp_path):
+    from hidegs_tpu.train.trainer import train
+
+    model_cfg = ModelConfig(
+        source_path=str(colmap_scene),
+        model_path=str(tmp_path / "model"),
+        eval=True,
+        skybox_num=8,
+    )
+    pipe_cfg = PipelineConfig(raster_backend="jnp", max_instances=1 << 13, capacity=512)
+    opt_cfg = OptimizationConfig(
+        iterations=40,
+        densify_from_iter=15,
+        densify_until_iter=35,
+        densification_interval=10,
+        opacity_reset_interval=10_000,
+        freq_warmup_iterations=5,
+        single_view_weight_from_iter=20,
+        multi_view_weight_from_iter=25,
+        multi_view_sample_num=256,
+        depth_from_iter=10_000,
+    )
+    ts = train(model_cfg, pipe_cfg, opt_cfg, save_iterations=(40,), log_every=20)
+    assert int(ts.step) == 40
+    ckpt = tmp_path / "model" / "point_cloud" / "iteration_40"
+    assert (ckpt / "point_cloud.ply").exists()
+    assert (ckpt / "state.npz").exists()
+    assert (tmp_path / "model" / "cfg_args.json").exists()
+    assert (tmp_path / "model" / "multi_view.json").exists()
+    # skybox survived protected
+    assert bool(ts.gaussians.protected.sum() == 8)
+
+
+def test_evaluate_end_to_end(colmap_scene, tmp_path):
+    from hidegs_tpu.evaluate import main as eval_main
+    from hidegs_tpu.train.trainer import train
+
+    model_path = str(tmp_path / "model")
+    model_cfg = ModelConfig(
+        source_path=str(colmap_scene), model_path=model_path, eval=True
+    )
+    pipe_cfg = PipelineConfig(raster_backend="jnp", max_instances=1 << 13, capacity=256)
+    opt_cfg = OptimizationConfig(
+        iterations=10, densify_from_iter=1000, freq_warmup_iterations=1000,
+        single_view_weight_from_iter=1000, multi_view_weight_from_iter=1000,
+    )
+    train(model_cfg, pipe_cfg, opt_cfg, save_iterations=(10,), log_every=1000)
+    report = eval_main(
+        ["--model_path", model_path, "--source_path", str(colmap_scene), "--no_images", "--eval"]
+    )
+    assert "train" in report and "test" in report
+    assert np.isfinite(report["train"]["mean"]["psnr"])
+    assert report["train"]["mean"]["psnr"] > 10
+    results = os.path.join(model_path, "eval_10", "results.json")
+    assert os.path.exists(results)
+
+
+def test_lpips_random_weights_shapes():
+    import jax
+
+    from hidegs_tpu.train.lpips import lpips_distance, random_lpips_params
+
+    params = random_lpips_params()
+    img1 = jax.random.uniform(jax.random.PRNGKey(0), (3, 64, 64))
+    img2 = jax.random.uniform(jax.random.PRNGKey(1), (3, 64, 64))
+    d_same = float(lpips_distance(params, img1, img1))
+    d_diff = float(lpips_distance(params, img1, img2))
+    assert d_same < 1e-6
+    assert d_diff > d_same

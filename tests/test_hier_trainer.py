@@ -1,0 +1,78 @@
+"""Hierarchy post-optimization + appearance model."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
+from hidegs_tpu.hier.build import _build_hierarchy_py
+from hidegs_tpu.model.appearance import (
+    apply_appearance,
+    appearance_update,
+    init_app_model,
+)
+from hidegs_tpu.raster.api import RasterConfig, render
+from hidegs_tpu.train.hier_trainer import post_optimize, hierarchy_from_state
+from hidegs_tpu.train.losses import psnr
+
+
+def test_post_optimize_improves_loss():
+    n = 40
+    scene = make_toy_gaussians(n, seed=6)
+    cams = [ring_camera(i, n_cams=3, height=48, width=48) for i in range(3)]
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 12)
+    gts = [np.asarray(render(*scene, c, config=cfg)["render"]) for c in cams]
+    # perturb colors before building so post-opt has something to recover
+    shs_bad = np.asarray(scene.shs) * 0.3
+    h = _build_hierarchy_py(
+        np.asarray(scene.means3d), np.asarray(scene.quats), np.asarray(scene.scales),
+        np.asarray(scene.opacities), shs_bad,
+    )
+    cam_params = [c for c in cams]
+    ts = post_optimize(
+        h, cam_params, gts, iterations=60, target_size=1e-9, budget=128,
+        raster_cfg=cfg, log_every=1000,
+    )
+    h2 = hierarchy_from_state(ts, h)
+    assert np.isfinite(h2.pos).all() and np.isfinite(h2.shs).all()
+    # rendered quality after post-opt beats the perturbed start
+    from hidegs_tpu.hier.lod import expand_to_size
+    from hidegs_tpu.hier.interp import render_hierarchy
+
+    def quality(hh):
+        vals = []
+        for c, g in zip(cams, gts):
+            vp = jnp.asarray(np.asarray(c.camera_center))
+            cut = expand_to_size(
+                jnp.asarray(hh.nodes), jnp.asarray(hh.boxes), 1e-9, vp, budget=128,
+                num_points=hh.num_points,
+            )
+            out = render_hierarchy(
+                cut, jnp.asarray(hh.pos), jnp.exp(jnp.asarray(hh.scale)),
+                jnp.asarray(hh.rot), jnp.asarray(hh.alpha), jnp.asarray(hh.shs),
+                c, config=cfg,
+            )
+            vals.append(float(psnr(out["render"], jnp.asarray(g))))
+        return np.mean(vals)
+
+    q_before, q_after = quality(h), quality(h2)
+    assert q_after > q_before + 1.0, (q_before, q_after)
+
+
+def test_appearance_model():
+    app = init_app_model(4)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (3, 16, 16))
+    target = 1.3 * img + 0.05
+
+    def loss(a, b):
+        m = app._replace(a=a, b=b)
+        return jnp.mean((apply_appearance(m, img, 1) - target) ** 2)
+
+    a, b = app.a, app.b
+    m = app
+    for _ in range(500):
+        ga, gb = jax.grad(loss, argnums=(0, 1))(m.a, m.b)
+        m = appearance_update(m, ga[1], gb[1], 1, lr=2e-2)
+    assert abs(float(jnp.exp(m.a[1])) - 1.3) < 0.1
+    assert abs(float(m.b[1]) - 0.05) < 0.05
+    # other images untouched
+    assert float(m.a[0]) == 0.0

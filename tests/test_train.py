@@ -125,5 +125,10 @@ def test_train_step_with_all_losses_runs():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, v)
     assert "mv_ncc" in metrics and "depth_l1" in metrics and "single_view" in metrics
+    # regression: geometry losses once produced NaN GRADIENTS through
+    # zero-normal pixels (norm at 0) while the loss itself stayed finite
+    for name in ts2.gaussians.params._fields:
+        leaf = np.asarray(getattr(ts2.gaussians.params, name))
+        assert np.isfinite(leaf).all(), f"non-finite {name} after step"
     # exposure actually moved
     assert float(jnp.abs(ts2.exposure - jnp.zeros((N_VIEWS, 3, 4)).at[:, :, :3].set(jnp.eye(3))).max()) > 0
