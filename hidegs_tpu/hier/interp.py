@@ -71,6 +71,34 @@ def interpolate_cut(
     return InterpolatedGaussians(m, s, q, op, sh)
 
 
+def render_coarse(
+    nodes,
+    boxes,
+    means3d,
+    scales,
+    quats,
+    opacities,
+    shs,
+    cam,
+    coarse_target_size: float = 0.1,
+    budget: int = 1 << 16,
+    **kwargs,
+):
+    """Coarse render: a large-granularity LOD cut — the scaffold/coarse-opt
+    path (render_coarse, gaussian_renderer/__init__.py:376-488) realized as
+    the generic hierarchy render at a coarse target size."""
+    import numpy as np
+
+    from hidegs_tpu.hier.lod import expand_to_size
+
+    vp = jnp.asarray(np.asarray(cam.camera_center))
+    cut = expand_to_size(
+        nodes, boxes, coarse_target_size, vp, budget=budget,
+        num_points=int(means3d.shape[0]),
+    )
+    return render_hierarchy(cut, means3d, scales, quats, opacities, shs, cam, **kwargs)
+
+
 def render_hierarchy(
     cut: HierCut,
     means3d,

@@ -103,9 +103,27 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, use_exposure: bool = False)
         metrics["loss"] = loss
         return new_ts, metrics
 
-    def place(ts: TrainState, batch: ViewBatch):
-        """Device-place state (replicated) and batch (view-sharded)."""
-        ts = jax.device_put(ts, repl)
+    def place(ts: TrainState, batch: ViewBatch, shard_gaussians: bool = False):
+        """Device-place state and batch.
+
+        Default: params replicated, batch view-sharded (pure DP). With
+        `shard_gaussians`, gaussian-capacity-dim leaves shard over the
+        'model' axis instead (SURVEY §2.4 row 2): per-gaussian preprocessing
+        runs model-parallel and GSPMD inserts the all-gather of the visible
+        screen-space data before binning/blending.
+        """
+        if shard_gaussians:
+            C = ts.gaussians.capacity
+            shard_g = NamedSharding(mesh, P("model"))
+
+            def place_leaf(x):
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == C:
+                    return jax.device_put(x, shard_g)
+                return jax.device_put(x, repl)
+
+            ts = jax.tree_util.tree_map(place_leaf, ts)
+        else:
+            ts = jax.device_put(ts, repl)
         batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard_view), batch)
         return ts, batch
 

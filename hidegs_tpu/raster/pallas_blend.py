@@ -1,32 +1,34 @@
 """Pallas TPU tile-blend kernels — the production rasterization hot path.
 
 Replaces the per-pixel sequential front-to-back loop of the reference's
-renderCUDA (forward.cu:440-610) with a TPU-shaped formulation:
+renderCUDA (forward.cu:440-610) with a TPU-shaped formulation.
 
-  * grid over screen tiles; each program blends one 16x16 tile (P=256 pixels);
-  * the tile's (tile,depth)-sorted instance span is streamed from HBM in
-    chunks of CHUNK=128 instances (double-buffered DMA);
-  * all math is PIXEL-major (P rows, instance lanes): attributes live
-    transposed as (ATTR, I) in HBM so every DMA slice is 128-lane aligned
-    (Mosaic requires dim-1 slices aligned to the (·,128) tiling), and the
-    aligned binning guarantees chunk starts are multiples of 128;
-  * the sequential compositing recurrence becomes matmuls on the MXU:
-       cum_excl = log(1-α) @ TRIU_strict          (exclusive prefix over lanes)
+Design (v2, block-pipelined): a TPU Pallas grid is a *sequential* loop on the
+TensorCore, so per-tile programs with manual DMA pay fixed overhead per tile
+(~88 instances/tile in the BASELINE workload ⇒ overhead-bound). Instead the
+grid runs over 128-instance *blocks* of the chunk-aligned instance stream:
+
+  * instance attribute blocks (ATTR, CHUNK) are streamed by the Pallas
+    pipeline itself (automatic double buffering; index map b → block b);
+  * each block's owning tile comes from scalar-prefetched tables; the output
+    block index is that tile, so consecutive blocks of one tile *revisit* the
+    same VMEM output buffer and accumulate in place (the canonical Pallas
+    reduction pattern); the buffer flushes to HBM when the tile changes;
+  * within a block the compositing recurrence is matmuls on the MXU:
+       cum_excl = log(1-α) @ TRIU_strict      (prefix over instance lanes)
        out     += (T·α·mask) @ channelsᵀ
-  * the whole tile early-exits when every pixel's transmittance drops below
-    1e-4 (the block-level termination vote of forward.cu:508-510/558-565).
+    with per-pixel transmittance carried across blocks in VMEM scratch;
+  * blocks whose tile is already opaque (max T < 1e-4) skip their compute —
+    the block-granular version of forward.cu:508-510's termination vote.
 
-The backward (pallas_vjp.py) re-streams chunks and writes per-instance
-gradients to disjoint chunk-aligned column ranges — atomicAdd scatter
-(backward.cu:702-769) becomes deterministic stores + a segment-sum outside.
+All math is PIXEL-major (P=256 rows, instance lanes). Attributes are stored
+transposed (ATTR, I) so every pipeline slice is 128-lane aligned, with chunk-
+aligned per-tile spans (see binning.align_binning).
 
-Packed attribute rows (ATTR=16, transposed: attrs[a, i] = attribute a of
-instance i):
-  [0:2] mean2d  [2:5] conic  [5:8] rgb  [8] opacity  [9] invdepth
-  [10:13] normal  [13] distance  [14:16] pad
-Output planes per tile: (P, OUT_CH=16):
-  [0:3] rgb  [3] invdepth  [4:7] normal  [7] distance  [8] acc_alpha
-  [9] T_final  [10:16] pad
+Packed attribute rows (ATTR=16): [0:2] mean2d [2:5] conic [5:8] rgb
+[8] opacity [9] invdepth [10:13] normal [13] distance [14:16] pad.
+Output planes per tile (P, OUT_CH=16): [0:3] rgb [3] invdepth [4:7] normal
+[7] distance [8] acc_alpha [9] T_final [10:16] pad.
 """
 from __future__ import annotations
 
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 128  # instances per inner step (= lane width: aligned DMA slices)
+CHUNK = 128  # instances per block (= lane width: aligned slices)
 ATTR = 16  # packed attribute channels
 OUT_CH = 16  # packed output channels
 T_EPS = 1e-4
@@ -71,13 +73,27 @@ def pack_instance_attrs(pre, gid, valid):
     return jnp.stack(rows, axis=0)
 
 
-def _chunk_geometry(a, c, count, pix_x, pix_y):
-    """Shared per-chunk α computation. a: (ATTR, CHUNK) attribute block;
-    pix_*: (P, 1) pixel centers. Returns pixel-major (P, CHUNK) tensors."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    in_range = (lane + c * CHUNK) < count  # (1, CHUNK)
+def block_tables(tile_start: jnp.ndarray, tile_count: jnp.ndarray, num_blocks: int):
+    """Per-block scalar tables from chunk-aligned tile spans.
 
-    mx = a[0:1, :]  # (1, CHUNK)
+    Returns (tile_of (B,), first (B,) int32 0/1, nvalid (B,) int32)."""
+    T = tile_start.shape[0]
+    starts = jnp.arange(num_blocks, dtype=jnp.int32) * CHUNK
+    t_of = jnp.searchsorted(tile_start, starts, side="right").astype(jnp.int32) - 1
+    t_of = jnp.clip(t_of, 0, T - 1)
+    local = starts - tile_start[t_of]
+    nvalid = jnp.clip(tile_count[t_of] - local, 0, CHUNK)
+    first = (local == 0).astype(jnp.int32)
+    return t_of, first, nvalid.astype(jnp.int32)
+
+
+def _block_geometry(a, nvalid, pix_x, pix_y):
+    """Per-block α computation. a: (ATTR, CHUNK); pix_*: (P, 1).
+    Returns pixel-major (P, CHUNK) tensors."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    in_range = lane < nvalid  # (1, CHUNK)
+
+    mx = a[0:1, :]
     my = a[1:2, :]
     ca = a[2:3, :]
     cb = a[3:4, :]
@@ -98,9 +114,9 @@ def _chunk_geometry(a, c, count, pix_x, pix_y):
     )
 
 
-def _chunk_channels(a, in_range):
+def _block_channels(a, in_range):
     """(OUT_CH, CHUNK) channel matrix: rgb, invd, normal, dist, ones, pad."""
-    ones = jnp.where(in_range, 1.0, 0.0)  # (1, CHUNK)
+    ones = jnp.where(in_range, 1.0, 0.0)
     return jnp.concatenate(
         [a[5:8, :], a[9:10, :], a[10:13, :], a[13:14, :], ones,
          jnp.zeros((OUT_CH - 9, CHUNK), jnp.float32)],
@@ -123,122 +139,99 @@ def _tile_pixels(t, tiles_x, tile):
 
 
 def _triu(strict: bool):
-    """(CHUNK, CHUNK) upper-triangular ones: row j → columns k (j<k or j≤k).
-    Right-multiplying (P, C) by this gives the per-lane prefix sum."""
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     return ((row < col) if strict else (row <= col)).astype(jnp.float32)
 
 
 def _forward_kernel(
-    tile_start_ref,  # (T,) int32 scalar prefetch (multiples of CHUNK)
-    tile_count_ref,  # (T,) int32
-    attrs_hbm,  # (ATTR, I_pad) in ANY/HBM
-    out_ref,  # (1, P, OUT_CH) VMEM block for this tile
-    attr_buf,  # (2, ATTR, CHUNK) VMEM
-    dma_sems,  # (2,) DMA semaphores
+    tile_of_ref,  # (B,) scalar prefetch: owning tile per block
+    first_ref,  # (B,) 1 ⇔ first block of its tile
+    nvalid_ref,  # (B,) valid instances in block
+    attr_ref,  # (ATTR, CHUNK) VMEM — pipelined block
+    out_ref,  # (1, P, OUT_CH) VMEM — revisited accumulator for the tile
+    T_carry,  # (P, 1) VMEM scratch — transmittance across blocks of a tile
     *,
     tile: int,
     tiles_x: int,
 ):
-    t = pl.program_id(0)
+    b = pl.program_id(0)
     P = tile * tile
-    start = tile_start_ref[t]
-    count = tile_count_ref[t]
-    num_chunks = pl.cdiv(count, CHUNK)
+    t = tile_of_ref[b]
+    nvalid = nvalid_ref[b]
+    is_first = first_ref[b] == 1
 
-    pix_x, pix_y = _tile_pixels(t, tiles_x, tile)
-    triu_strict = _triu(strict=True)
-
-    def get_dma(slot, c):
-        # aligned binning guarantees start ≡ 0 (mod CHUNK); tell Mosaic so it
-        # can prove the slice is tiling-aligned
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
-        return pltpu.make_async_copy(
-            attrs_hbm.at[:, pl.ds(off, CHUNK)],
-            attr_buf.at[slot],
-            dma_sems.at[slot],
-        )
-
-    @pl.when(num_chunks > 0)
+    @pl.when(is_first)
     def _():
-        get_dma(0, 0).start()
+        T_carry[:] = jnp.ones((P, 1), jnp.float32)
+        out_ref[0] = jnp.zeros((P, OUT_CH), jnp.float32)
 
-    def chunk_body(state):
-        c, T_carry, acc = state
-        slot = c % 2
+    live_tile = (jnp.max(T_carry[:]) >= T_EPS) & (nvalid > 0)
 
-        @pl.when(c + 1 < num_chunks)
-        def _():
-            get_dma((c + 1) % 2, c + 1).start()
-
-        get_dma(slot, c).wait()
-        a = attr_buf[slot]  # (ATTR, CHUNK)
-        q = _chunk_geometry(a, c, count, pix_x, pix_y)
+    @pl.when(live_tile)
+    def _():
+        pix_x, pix_y = _tile_pixels(t, tiles_x, tile)
+        a = attr_ref[:]
+        q = _block_geometry(a, nvalid, pix_x, pix_y)
         alpha, log_t = q["alpha"], q["log_t"]
 
-        cum_excl = jnp.dot(log_t, triu_strict, preferred_element_type=jnp.float32)
-        T_excl = T_carry * jnp.exp(cum_excl)  # (P, CHUNK)
+        cum_excl = jnp.dot(log_t, _triu(True), preferred_element_type=jnp.float32)
+        T_excl = T_carry[:] * jnp.exp(cum_excl)  # (P, CHUNK)
         T_incl = T_excl * (1.0 - alpha)
         w = T_excl * alpha * (T_incl >= T_EPS)
 
-        ch = _chunk_channels(a, q["in_range"])  # (OUT_CH, CHUNK)
-        # acc(P, OUT_CH) += w(P, C) · ch(OUT_CH, C)ᵀ — rhs-transposed MXU dot
-        acc = acc + jax.lax.dot_general(
+        ch = _block_channels(a, q["in_range"])  # (OUT_CH, CHUNK)
+        contrib = jax.lax.dot_general(
             w, ch, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        T_carry = T_carry * jnp.exp(jnp.sum(log_t, axis=1, keepdims=True))
-        return c + 1, T_carry, acc
+        )  # (P, OUT_CH)
+        T_new = T_carry[:] * jnp.exp(jnp.sum(log_t, axis=1, keepdims=True))
+        T_carry[:] = T_new
+        col = jax.lax.broadcasted_iota(jnp.int32, (P, OUT_CH), 1)
+        out_ref[0] = jnp.where(col == 9, T_new, out_ref[0] + contrib)
 
-    def cond(state):
-        c, T_carry, _ = state
-        return (c < num_chunks) & (jnp.max(T_carry) >= T_EPS)
-
-    T0 = jnp.ones((P, 1), jnp.float32)
-    acc0 = jnp.zeros((P, OUT_CH), jnp.float32)
-    c_fin, T_fin, acc = jax.lax.while_loop(cond, chunk_body, (0, T0, acc0))
-
-    # drain the in-flight DMA left by an early exit
-    @pl.when(c_fin < num_chunks)
-    def _():
-        get_dma(c_fin % 2, c_fin).wait()
-
-    # write T_final into channel 9 via masked select (no value-scatter on TPU)
-    col = jax.lax.broadcasted_iota(jnp.int32, (P, OUT_CH), 1)
-    out_ref[0] = jnp.where(col == 9, T_fin, acc)
+    # opaque-tile blocks: keep channel 9 at the carried T (already written by
+    # the last live block); nothing else to do.
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "tile"))
+@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "tile", "num_blocks"))
 def blend_tiles_pallas_fwd(
-    attrs: jnp.ndarray,  # (ATTR, I) instance-sorted packed attributes
+    attrs: jnp.ndarray,  # (ATTR, I_aligned) instance-sorted packed attributes
     tile_start: jnp.ndarray,  # (T,) int32, multiples of CHUNK
     tile_count: jnp.ndarray,  # (T,) int32
     tiles_y: int,
     tiles_x: int,
     tile: int = 16,
+    num_blocks: int = 0,
 ) -> jnp.ndarray:
-    """Returns (T, P, OUT_CH) per-tile output planes."""
+    """Returns (T, P, OUT_CH) per-tile output planes. Tiles with zero
+    instances keep background defaults (handled by the caller via masking)."""
     T = tiles_y * tiles_x
     P = tile * tile
-    # pad the instance axis so the last chunk's DMA window stays in bounds
-    attrs = jnp.concatenate([attrs, jnp.zeros((ATTR, CHUNK), attrs.dtype)], axis=1)
+    I = attrs.shape[1]
+    num_blocks = num_blocks or I // CHUNK
+    tile_of, first, nvalid = block_tables(tile_start, tile_count, num_blocks)
 
     kernel = functools.partial(_forward_kernel, tile=tile, tiles_x=tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, P, OUT_CH), lambda t, *_: (t, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, ATTR, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+        num_scalar_prefetch=3,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((ATTR, CHUNK), lambda b, tof, first, nv: (0, b)),
         ],
+        out_specs=pl.BlockSpec((1, P, OUT_CH), lambda b, tof, first, nv: (tof[b], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((P, 1), jnp.float32)],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, P, OUT_CH), jnp.float32),
-    )(tile_start, tile_count, attrs)
+    )(tile_of, first, nvalid, attrs)
+
+    # empty tiles were never visited → garbage; reset them to (0, T_final=1)
+    empty = tile_count == 0
+    col = jnp.arange(OUT_CH)
+    default = jnp.where(col == 9, 1.0, 0.0).astype(jnp.float32)
+    return jnp.where(empty[:, None, None], default[None, None, :], out)
 
 
 def blend_tiles_pallas(pre, binning, tiles_y: int, tiles_x: int, tile: int = 16):

@@ -100,6 +100,24 @@ def image_gradient_weight(gt: jnp.ndarray) -> jnp.ndarray:
     return out.at[1:-1, 1:-1].set(1.0 - grad)
 
 
+def dilate(mask: jnp.ndarray, iterations: int = 1) -> jnp.ndarray:
+    """Binary 3x3 dilation (utils/image_utils.py:22-26). mask: (H, W)."""
+    m = mask
+    for _ in range(iterations):
+        m = jax.lax.reduce_window(
+            m, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        )
+    return m
+
+
+def erode(mask: jnp.ndarray, iterations: int = 1) -> jnp.ndarray:
+    """Binary 3x3 erosion (utils/image_utils.py:27-30)."""
+    m = mask
+    for _ in range(iterations):
+        m = jax.lax.reduce_window(m, jnp.inf, jax.lax.min, (3, 3), (1, 1), "SAME")
+    return m
+
+
 def lncc(
     ref_patches: jnp.ndarray,
     src_patches: jnp.ndarray,

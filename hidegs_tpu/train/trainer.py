@@ -203,6 +203,22 @@ def train(
     state = init_gaussians_from_scene(scene, model_cfg, capacity)
     ts = init_train_state(state, num_images=n_views, seed=seed)
 
+    # auto-resume from the latest iteration_* checkpoint (Scene(load_iteration=-1)
+    # semantics, utils/system_utils.py:25-27) — pod-preemption recovery
+    start_iter = 1
+    if model_cfg.model_path:
+        from hidegs_tpu.train.checkpoint import find_latest_iteration, load_train_state
+
+        ckpt_root = os.path.join(model_cfg.model_path, "point_cloud")
+        latest = find_latest_iteration(ckpt_root)
+        if latest is not None and latest < cfg.iterations:
+            try:
+                ts, latest = load_train_state(ts, ckpt_root, latest)
+                start_iter = latest + 1
+                print(f"resumed from iteration {latest}", flush=True)
+            except (ValueError, KeyError) as e:
+                print(f"resume failed ({e}); training from scratch", flush=True)
+
     if model_cfg.model_path:
         save_cfg_args(model_cfg.model_path, model_cfg, pipe_cfg, opt_cfg)
         scene.save_multi_view_json(os.path.join(model_cfg.model_path, "multi_view.json"))
@@ -211,7 +227,7 @@ def train(
     order = []
     t0 = time.time()
     use_mv = cfg.multi_view_ncc_weight > 0 and scene.neighbors
-    for it in range(1, cfg.iterations + 1):
+    for it in range(start_iter, cfg.iterations + 1):
         if not order:
             order = list(range(n_views))
             rng.shuffle(order)

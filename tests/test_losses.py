@@ -128,3 +128,11 @@ def test_frequency_regularization_warmup_and_grad():
     g = jax.grad(f)(rendered)
     assert np.isfinite(np.array(g)).all()
     assert np.abs(np.array(g)).max() > 0
+
+
+def test_dilate_erode():
+    m = jnp.zeros((9, 9)).at[4, 4].set(1.0)
+    d = losses.dilate(m)
+    assert float(d.sum()) == 9.0
+    e = losses.erode(d)
+    assert float(e.sum()) == 1.0 and float(e[4, 4]) == 1.0

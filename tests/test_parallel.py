@@ -84,3 +84,25 @@ def test_dp_visibility_union_semantics():
     moved = np.abs(np.array(ts1.gaussians.params.xyz) - 0.0).sum(axis=-1)
     alive = np.array(ts1.gaussians.alive)
     assert (moved[~alive] == 0).all()
+
+
+def test_dp_with_gaussian_sharding():
+    """2x4 mesh: views over 'data', gaussian capacity dim over 'model'."""
+    cams, gts, state = setup(n=64, n_views=2)
+    mesh = make_mesh(8, data=2, model=4)
+    cfg = TrainConfig(iterations=100, raster=RCFG, freq_warmup=10_000, single_view_weight=0.0)
+    step, place = make_dp_train_step(cfg, mesh)
+    ts = init_train_state(state, num_images=2)
+    batch = stack_view_batches(
+        [ViewBatch(cam=cams[i], image=gts[i], image_idx=jnp.int32(i)) for i in range(2)]
+    )
+    ts, batch = place(ts, batch, shard_gaussians=True)
+    losses = []
+    for _ in range(5):
+        ts, m = step(ts, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # param leaves really are sharded over the model axis
+    sh = ts.gaussians.params.xyz.sharding
+    assert "model" in str(sh.spec) or sh.is_fully_replicated is False

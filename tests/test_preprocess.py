@@ -171,3 +171,18 @@ def test_merge_hierarchies():
         cam, config=RasterConfig(backend="jnp", max_instances=1 << 13),
     )
     assert np.isfinite(np.asarray(out["render"])).all()
+
+
+def test_knn_match_pairs():
+    from hidegs_tpu.preprocess.colmap_driver import knn_match_pairs, write_match_list
+
+    pos = {f"im{i}": np.array([i * 1.0, 0, 0]) for i in range(6)}
+    pairs = knn_match_pairs(pos, k=2)
+    assert ("im0", "im1") in pairs
+    assert all(a < b for a, b in pairs)  # canonical order, no dupes
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "pairs.txt")
+        write_match_list(pairs, p)
+        assert len(open(p).readlines()) == len(pairs)
