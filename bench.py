@@ -30,7 +30,9 @@ def main():
 
     scene = make_toy_gaussians(N_GAUSSIANS, seed=0)
     cam = ring_camera(0, height=H, width=W)
-    cfg = RasterConfig(backend="jnp", max_instances=1 << 19)
+    # budget sized to the workload (~221k instances measured): the jnp path's
+    # cost scales with the static budget, so a tight budget matters
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 18)
     target = jnp.zeros((3, H, W))
 
     def loss_fn(means3d, scales, quats, opacities, shs):
