@@ -167,6 +167,39 @@ def frequency_pyramid_loss(
     return jnp.clip(total, 0.0, 0.1)
 
 
+def save_debug_panel(
+    rendered, gt, mask, out_dir: str, iteration: int, camera_name: str = ""
+):
+    """2x2 visualization panel (render / gt / high-freq mask / gt log-FFT),
+    the reference's save_visualizations dumps
+    (frequency_regularization.py:1446-1577, written every 1000 iters)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def to_u8(img):
+        a = np.asarray(img)
+        if a.ndim == 3:
+            a = a.transpose(1, 2, 0)
+        else:
+            a = np.stack([a] * 3, axis=-1)
+        a = (np.clip(a, 0, 1) * 255).astype(np.uint8)
+        return a
+
+    gray = jnp.mean(gt, axis=0)
+    logmag = jnp.log(jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(gray))) + 1e-6)
+    logmag = (logmag - logmag.min()) / jnp.maximum(logmag.max() - logmag.min(), 1e-8)
+
+    top = np.concatenate([to_u8(rendered), to_u8(gt)], axis=1)
+    bottom = np.concatenate([to_u8(mask), to_u8(logmag)], axis=1)
+    panel = np.concatenate([top, bottom], axis=0)
+    name = f"freq_{camera_name}_{iteration:06d}.png" if camera_name else f"freq_{iteration:06d}.png"
+    Image.fromarray(panel).save(os.path.join(out_dir, name))
+
+
 def frequency_regularization(
     rendered: jnp.ndarray,
     gt: jnp.ndarray,

@@ -163,3 +163,35 @@ def test_coarse_cut_still_renders():
     img = np.asarray(out["render"])
     assert np.isfinite(img).all()
     assert img.max() > 0.01
+
+
+def test_hier_cli_create_and_merge(tmp_path):
+    """CLI parity tools: ply → .hier → merge."""
+    import jax.numpy as jnp
+
+    from hidegs_tpu.hier import cli
+    from hidegs_tpu.hier.io import read_hier
+    from hidegs_tpu.model.gaussians import init_from_points
+    from hidegs_tpu.utils.ply import save_gaussian_ply
+
+    scene = make_toy_gaussians(30, seed=9)
+    st = init_from_points(scene.means3d, jnp.full((30, 3), 0.5), capacity=30)
+    ply_path = str(tmp_path / "point_cloud.ply")
+    save_gaussian_ply(ply_path, st)
+    out1 = str(tmp_path / "h1.hier")
+    cli.main(["create", "--ply", ply_path, "--out", out1])
+    h = read_hier(out1)
+    assert h.num_points >= 30
+
+    for i in range(2):
+        d = tmp_path / f"chunk_0_{i}"
+        d.mkdir()
+        import shutil
+
+        shutil.copy(out1, d / "hierarchy.hier")
+        np.savetxt(d / "center.txt", np.zeros((1, 3)))
+        np.savetxt(d / "extent.txt", np.full((1, 3), 100.0))
+    out2 = str(tmp_path / "merged.hier")
+    cli.main(["merge", "--chunks", str(tmp_path), "--out", out2])
+    m = read_hier(out2)
+    assert m.num_nodes == 2 * h.num_nodes + 1
