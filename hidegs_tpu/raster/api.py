@@ -32,6 +32,9 @@ class RasterConfig:
     max_instances: int = 1 << 20  # static instance budget (SURVEY §7.3 #1)
     backend: str = "jnp"  # "jnp" | "pallas" | "oracle"
     antialias: bool = True
+    # 0 = exact lexicographic (tile, depth) sort; >0 = single-key sort with
+    # this many depth-quantization bits (faster, reorders near-equal depths)
+    depth_sort_bits: int = 0
 
 
 def render(
@@ -80,7 +83,10 @@ def render(
         out["visibility"] = pre.visible & (pre.radius > 0)
         return out
 
-    tb = bin_gaussians(pre, tiles_y, tiles_x, config.max_instances, config.tile)
+    tb = bin_gaussians(
+        pre, tiles_y, tiles_x, config.max_instances, config.tile,
+        depth_bits=config.depth_sort_bits,
+    )
     if config.backend == "pallas":
         from hidegs_tpu.raster.pallas_blend import blend_tiles_pallas
 

@@ -48,29 +48,32 @@ ALPHA_MAX = 0.99
 
 
 def pack_instance_attrs(pre, gid, valid):
-    """Gather per-gaussian attrs into instance order, packed (ATTR, I)."""
+    """Gather per-gaussian attrs into instance order, packed (ATTR, I).
+
+    Packs per-GAUSSIAN attributes into one (N+1, ATTR) matrix first (cheap,
+    N-sized elementwise), then expands to instances with ONE row gather —
+    row gathers move contiguous 64-byte rows, which the TPU does well, unlike
+    the 14 per-element gathers this used to be. The sentinel row N is zero,
+    so invalid slots read zeros (α=0 → no contribution, and no backward junk
+    via the gather transpose).
+    """
     N = pre.mean2d.shape[0]
-    g = jnp.minimum(gid, N - 1)
-    v = valid.astype(jnp.float32)
-    rows = [
-        pre.mean2d[g, 0] * v,
-        pre.mean2d[g, 1] * v,
-        pre.conic[g, 0] * v,
-        pre.conic[g, 1] * v,
-        pre.conic[g, 2] * v,
-        pre.rgb[g, 0] * v,
-        pre.rgb[g, 1] * v,
-        pre.rgb[g, 2] * v,
-        pre.opacity[g] * v,  # padding rows: α=0 → no contribution
-        pre.inv_depth[g] * v,
-        pre.normal[g, 0] * v,
-        pre.normal[g, 1] * v,
-        pre.normal[g, 2] * v,
-        pre.distance[g] * v,
-        jnp.zeros_like(v),
-        jnp.zeros_like(v),
-    ]
-    return jnp.stack(rows, axis=0)
+    packed = jnp.concatenate(
+        [
+            pre.mean2d,  # 2
+            pre.conic,  # 3
+            pre.rgb,  # 3
+            pre.opacity[:, None],  # 1
+            pre.inv_depth[:, None],  # 1
+            pre.normal,  # 3
+            pre.distance[:, None],  # 1
+            jnp.zeros((N, ATTR - 14), jnp.float32),
+        ],
+        axis=-1,
+    )  # (N, ATTR)
+    packed = jnp.concatenate([packed, jnp.zeros((1, ATTR), jnp.float32)], axis=0)
+    g = jnp.where(valid, jnp.minimum(gid, N - 1), N)
+    return packed[g].T  # (ATTR, I)
 
 
 def block_tables(tile_start: jnp.ndarray, tile_count: jnp.ndarray, num_blocks: int):

@@ -112,65 +112,73 @@ def _passB_kernel(
         T_carry[:] = jnp.ones((P, 1), jnp.float32)
         R_carry[:] = jnp.zeros((P, 1), jnp.float32)
 
-    pix_x, pix_y = _tile_pixels(t, tiles_x, tile)
-    a = attr_ref[:]
-    q = _block_geometry(a, nvalid, pix_x, pix_y)
-    alpha, log_t = q["alpha"], q["log_t"]
-    cum_excl = jnp.dot(log_t, _triu(True), preferred_element_type=jnp.float32)
-    T_excl = T_carry[:] * jnp.exp(cum_excl)
-    T_incl = T_excl * (1.0 - alpha)
-    w = T_excl * alpha * (T_incl >= T_EPS)
+    # pure-padding blocks (the static-slack tail) must still write their
+    # gradient block, but skip all math — they can be ~45% of the grid
+    @pl.when(nvalid == 0)
+    def _():
+        d_ref[:] = jnp.zeros((ATTR, CHUNK), jnp.float32)
 
-    g = g_ref[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (P, OUT_CH), 1)
-    g_ch = jnp.where(col == 9, 0.0, g)
-    ch = _block_channels(a, q["in_range"])
-    chg = jnp.dot(g_ch, ch, preferred_element_type=jnp.float32)  # (P, CHUNK)
+    @pl.when(nvalid > 0)
+    def _():
+        pix_x, pix_y = _tile_pixels(t, tiles_x, tile)
+        a = attr_ref[:]
+        q = _block_geometry(a, nvalid, pix_x, pix_y)
+        alpha, log_t = q["alpha"], q["log_t"]
+        cum_excl = jnp.dot(log_t, _triu(True), preferred_element_type=jnp.float32)
+        T_excl = T_carry[:] * jnp.exp(cum_excl)
+        T_incl = T_excl * (1.0 - alpha)
+        w = T_excl * alpha * (T_incl >= T_EPS)
 
-    gt = gt_ref[0]
-    G_total = gt[:, 0:1]
-    T_final = gt[:, 1:2]
-    S_base = T_final * g[:, 9:10]
+        g = g_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (P, OUT_CH), 1)
+        g_ch = jnp.where(col == 9, 0.0, g)
+        ch = _block_channels(a, q["in_range"])
+        chg = jnp.dot(g_ch, ch, preferred_element_type=jnp.float32)  # (P, CHUNK)
 
-    contrib = w * chg
-    prefix_incl = R_carry[:] + jnp.dot(
-        contrib, _triu(False), preferred_element_type=jnp.float32
-    )
-    S = (G_total - prefix_incl) + S_base  # (P, CHUNK)
+        gt = gt_ref[0]
+        G_total = gt[:, 0:1]
+        T_final = gt[:, 1:2]
+        S_base = T_final * g[:, 9:10]
 
-    live = (q["keep"] & (q["alpha_raw"] < ALPHA_MAX)).astype(jnp.float32)
-    d_alpha = T_excl * chg - S / (1.0 - alpha)
-    d_power = d_alpha * alpha * live
-    d_op_pix = d_alpha * jnp.exp(jnp.minimum(q["power"], 0.0)) * live
+        contrib = w * chg
+        prefix_incl = R_carry[:] + jnp.dot(
+            contrib, _triu(False), preferred_element_type=jnp.float32
+        )
+        S = (G_total - prefix_incl) + S_base  # (P, CHUNK)
 
-    dx, dy, ca, cb, cc = q["dx"], q["dy"], q["ca"], q["cb"], q["cc"]
-    d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)  # (1, CHUNK)
-    d_cb = jnp.sum(-(dx * dy) * d_power, axis=0, keepdims=True)
-    d_cc = jnp.sum(-0.5 * dy * dy * d_power, axis=0, keepdims=True)
-    d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
-    d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
-    d_op = jnp.sum(d_op_pix, axis=0, keepdims=True)
+        live = (q["keep"] & (q["alpha_raw"] < ALPHA_MAX)).astype(jnp.float32)
+        d_alpha = T_excl * chg - S / (1.0 - alpha)
+        d_power = d_alpha * alpha * live
+        d_op_pix = d_alpha * jnp.exp(jnp.minimum(q["power"], 0.0)) * live
 
-    # d(channels) = g_chᵀ·w → (OUT_CH, CHUNK)
-    d_ch = jax.lax.dot_general(
-        g_ch, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        dx, dy, ca, cb, cc = q["dx"], q["dy"], q["ca"], q["cb"], q["cc"]
+        d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)  # (1, CHUNK)
+        d_cb = jnp.sum(-(dx * dy) * d_power, axis=0, keepdims=True)
+        d_cc = jnp.sum(-0.5 * dy * dy * d_power, axis=0, keepdims=True)
+        d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
+        d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
+        d_op = jnp.sum(d_op_pix, axis=0, keepdims=True)
 
-    d_ref[:] = jnp.concatenate(
-        [
-            d_mx, d_my, d_ca, d_cb, d_cc,
-            d_ch[0:3, :],  # rgb
-            d_op,
-            d_ch[3:4, :],  # invdepth
-            d_ch[4:7, :],  # normal
-            d_ch[7:8, :],  # distance
-            jnp.zeros((ATTR - 14, CHUNK), jnp.float32),
-        ],
-        axis=0,
-    )
+        # d(channels) = g_chᵀ·w → (OUT_CH, CHUNK)
+        d_ch = jax.lax.dot_general(
+            g_ch, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
-    R_carry[:] = R_carry[:] + jnp.sum(contrib, axis=1, keepdims=True)
-    T_carry[:] = T_carry[:] * jnp.exp(jnp.sum(log_t, axis=1, keepdims=True))
+        d_ref[:] = jnp.concatenate(
+            [
+                d_mx, d_my, d_ca, d_cb, d_cc,
+                d_ch[0:3, :],  # rgb
+                d_op,
+                d_ch[3:4, :],  # invdepth
+                d_ch[4:7, :],  # normal
+                d_ch[7:8, :],  # distance
+                jnp.zeros((ATTR - 14, CHUNK), jnp.float32),
+            ],
+            axis=0,
+        )
+
+        R_carry[:] = R_carry[:] + jnp.sum(contrib, axis=1, keepdims=True)
+        T_carry[:] = T_carry[:] * jnp.exp(jnp.sum(log_t, axis=1, keepdims=True))
 
 
 @functools.partial(

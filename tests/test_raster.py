@@ -152,3 +152,16 @@ def test_instance_budget_truncation_still_renders():
     scene, cam = small_scene(n=500)
     out = render(*scene, cam, config=RasterConfig(max_instances=256))
     assert np.isfinite(np.array(out["render"])).all()
+
+
+def test_quantized_sort_matches_exact():
+    scene, cam = small_scene(n=300)
+    out_exact = render(*scene, cam, config=RasterConfig(max_instances=1 << 15))
+    out_q = render(
+        *scene, cam,
+        config=RasterConfig(max_instances=1 << 15, depth_sort_bits=18),
+    )
+    # depth quantization only perturbs near-equal-depth ordering
+    np.testing.assert_allclose(
+        np.array(out_q["render"]), np.array(out_exact["render"]), atol=5e-3
+    )
