@@ -153,6 +153,7 @@ def _forward_kernel(
     nvalid_ref,  # (B,) valid instances in block
     attr_ref,  # (ATTR, CHUNK) VMEM — pipelined block
     out_ref,  # (1, P, OUT_CH) VMEM — revisited accumulator for the tile
+    obs_ref,  # (1, CHUNK) VMEM — per-instance observe counts for this block
     T_carry,  # (P, 1) VMEM scratch — transmittance across blocks of a tile
     *,
     tile: int,
@@ -170,6 +171,10 @@ def _forward_kernel(
         out_ref[0] = jnp.zeros((P, OUT_CH), jnp.float32)
 
     live_tile = (jnp.max(T_carry[:]) >= T_EPS) & (nvalid > 0)
+
+    @pl.when(jnp.logical_not(live_tile))
+    def _():
+        obs_ref[:] = jnp.zeros((1, CHUNK), jnp.float32)
 
     @pl.when(live_tile)
     def _():
@@ -191,6 +196,11 @@ def _forward_kernel(
         T_carry[:] = T_new
         col = jax.lax.broadcasted_iota(jnp.int32, (P, OUT_CH), 1)
         out_ref[0] = jnp.where(col == 9, T_new, out_ref[0] + contrib)
+        # observability counter (forward.cu:579-582): #pixels contributed
+        # while the pixel was still fresh (T > 0.5)
+        obs_ref[:] = jnp.sum(
+            ((w > 0) & (T_excl > 0.5)).astype(jnp.float32), axis=0, keepdims=True
+        )
 
     # opaque-tile blocks: keep channel 9 at the carried T (already written by
     # the last live block); nothing else to do.
@@ -221,20 +231,27 @@ def blend_tiles_pallas_fwd(
         in_specs=[
             pl.BlockSpec((ATTR, CHUNK), lambda b, tof, first, nv: (0, b)),
         ],
-        out_specs=pl.BlockSpec((1, P, OUT_CH), lambda b, tof, first, nv: (tof[b], 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, P, OUT_CH), lambda b, tof, first, nv: (tof[b], 0, 0)),
+            pl.BlockSpec((1, CHUNK), lambda b, tof, first, nv: (0, b)),
+        ],
         scratch_shapes=[pltpu.VMEM((P, 1), jnp.float32)],
     )
-    out = pl.pallas_call(
+    out, observe = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, P, OUT_CH), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((T, P, OUT_CH), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_blocks * CHUNK), jnp.float32),
+        ],
     )(tile_of, first, nvalid, attrs)
 
     # empty tiles were never visited → garbage; reset them to (0, T_final=1)
     empty = tile_count == 0
     col = jnp.arange(OUT_CH)
     default = jnp.where(col == 9, 1.0, 0.0).astype(jnp.float32)
-    return jnp.where(empty[:, None, None], default[None, None, :], out)
+    out = jnp.where(empty[:, None, None], default[None, None, :], out)
+    return out, observe[0]
 
 
 def blend_tiles_pallas(pre, binning, tiles_y: int, tiles_x: int, tile: int = 16):
@@ -253,9 +270,15 @@ def blend_tiles_pallas(pre, binning, tiles_y: int, tiles_x: int, tile: int = 16)
     aligned_size = I + num_tiles * CHUNK
     ab = align_binning(binning, N, num_tiles, CHUNK, aligned_size)
     attrs = pack_instance_attrs(pre, ab.gauss_id, ab.gauss_id < N)
-    tile_out = blend_core(attrs, ab.tile_start, ab.tile_count, tiles_y, tiles_x, tile)
+    tile_out, observe = blend_core(
+        attrs, ab.tile_start, ab.tile_count, tiles_y, tiles_x, tile
+    )
     planes = tiles_to_planes(tile_out, tiles_y, tiles_x, tile)
-    planes["out_observe"] = jnp.zeros((N,), jnp.int32)
+    planes["out_observe"] = jax.ops.segment_sum(
+        observe[: ab.gauss_id.shape[0]],
+        jnp.minimum(ab.gauss_id, N),
+        num_segments=N + 1,
+    )[:N].astype(jnp.int32)
     return planes
 
 

@@ -2,14 +2,14 @@
 
 TPU re-design of the reference backward (backward.cu renderCUDA :500-772):
 instead of re-walking tiles back-to-front with atomicAdd gradient scatter,
-two block-pipelined grid passes run front-to-back over the chunk-aligned
+one block-pipelined grid pass runs front-to-back over the chunk-aligned
 instance stream (same sequential-grid structure as the forward, see
 pallas_blend.py):
 
-  pass A: recompute transmittance → per-tile totals
-          G_total(p) = Σ_k w_k·(ch_k·g(p)) and T_final(p)
-          (accumulated in a revisited per-tile output block)
-  pass B: per block, the suffix sum S_k = G_total − prefix_incl_k +
+  The per-tile totals need no kernel at all: the forward's saved output IS
+  Σ_k w_k·ch_k per channel, so G_total(p) = Σ_ch out(p,ch)·g(p,ch) and
+  T_final(p) = out(p, 9) — two elementwise XLA ops on the residual.
+  Then per block, the suffix sum S_k = G_total − prefix_incl_k +
           T_final·g_T gives the classic alpha gradient
             dα_k = m_k·T_k·(ch_k·g) − S_k/(1−α_k)
           (backward.cu:694-698's accum_rec recurrence in closed form); the
@@ -42,52 +42,6 @@ from hidegs_tpu.raster.pallas_blend import (
     block_tables,
     blend_tiles_pallas_fwd,
 )
-
-
-def _passA_kernel(
-    tile_of_ref, first_ref, nvalid_ref,
-    attr_ref,  # (ATTR, CHUNK) pipelined block
-    g_ref,  # (1, P, OUT_CH) — incoming cotangents of this block's tile
-    gt_ref,  # (1, P, OUT_CH) out — ch0: G_total, ch1: T_final (revisited)
-    T_carry,  # (P, 1) scratch
-    *,
-    tile: int,
-    tiles_x: int,
-):
-    b = pl.program_id(0)
-    P = tile * tile
-    t = tile_of_ref[b]
-    nvalid = nvalid_ref[b]
-
-    @pl.when(first_ref[b] == 1)
-    def _():
-        T_carry[:] = jnp.ones((P, 1), jnp.float32)
-        gt_ref[0] = jnp.zeros((P, OUT_CH), jnp.float32)
-
-    @pl.when(nvalid > 0)
-    def _():
-        pix_x, pix_y = _tile_pixels(t, tiles_x, tile)
-        a = attr_ref[:]
-        q = _block_geometry(a, nvalid, pix_x, pix_y)
-        alpha, log_t = q["alpha"], q["log_t"]
-        cum_excl = jnp.dot(log_t, _triu(True), preferred_element_type=jnp.float32)
-        T_excl = T_carry[:] * jnp.exp(cum_excl)
-        T_incl = T_excl * (1.0 - alpha)
-        w = T_excl * alpha * (T_incl >= T_EPS)
-
-        g = g_ref[0]  # (P, OUT_CH)
-        col = jax.lax.broadcasted_iota(jnp.int32, (P, OUT_CH), 1)
-        g_ch = jnp.where(col == 9, 0.0, g)
-        ch = _block_channels(a, q["in_range"])  # (OUT_CH, CHUNK)
-        chg = jnp.dot(g_ch, ch, preferred_element_type=jnp.float32)  # (P, CHUNK)
-
-        G_add = jnp.sum(w * chg, axis=1, keepdims=True)  # (P, 1)
-        T_new = T_carry[:] * jnp.exp(jnp.sum(log_t, axis=1, keepdims=True))
-        T_carry[:] = T_new
-        prev = gt_ref[0]
-        gt_ref[0] = jnp.where(
-            col == 0, prev + G_add, jnp.where(col == 1, T_new, prev)
-        )
 
 
 def _passB_kernel(
@@ -189,6 +143,7 @@ def blend_tiles_pallas_bwd(
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
     g_tiles: jnp.ndarray,  # (T, P, OUT_CH) cotangents
+    gt: jnp.ndarray,  # (T, P, OUT_CH): ch0 = G_total, ch1 = T_final
     tiles_y: int,
     tiles_x: int,
     tile: int = 16,
@@ -199,23 +154,6 @@ def blend_tiles_pallas_bwd(
     I = attrs.shape[1]
     num_blocks = num_blocks or I // CHUNK
     tile_of, first, nvalid = block_tables(tile_start, tile_count, num_blocks)
-
-    kernelA = functools.partial(_passA_kernel, tile=tile, tiles_x=tiles_x)
-    gridA = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec((ATTR, CHUNK), lambda b, tof, f, nv: (0, b)),
-            pl.BlockSpec((1, P, OUT_CH), lambda b, tof, f, nv: (tof[b], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, P, OUT_CH), lambda b, tof, f, nv: (tof[b], 0, 0)),
-        scratch_shapes=[pltpu.VMEM((P, 1), jnp.float32)],
-    )
-    gt = pl.pallas_call(
-        kernelA,
-        grid_spec=gridA,
-        out_shape=jax.ShapeDtypeStruct((T, P, OUT_CH), jnp.float32),
-    )(tile_of, first, nvalid, attrs, g_tiles)
 
     kernelB = functools.partial(_passB_kernel, tile=tile, tiles_x=tiles_x)
     gridB = pltpu.PrefetchScalarGridSpec(
@@ -248,7 +186,8 @@ def blend_tiles_pallas_bwd(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def blend_core(attrs, tile_start, tile_count, tiles_y, tiles_x, tile):
-    """(ATTR, I) instance attrs + tile ranges → (T, P, OUT_CH) tile planes."""
+    """(ATTR, I) instance attrs + tile ranges →
+    ((T, P, OUT_CH) tile planes, (B*CHUNK,) per-instance observe counts)."""
     return blend_tiles_pallas_fwd(
         attrs, tile_start, tile_count, tiles_y, tiles_x, tile
     )
@@ -256,13 +195,23 @@ def blend_core(attrs, tile_start, tile_count, tiles_y, tiles_x, tile):
 
 def _blend_core_fwd(attrs, tile_start, tile_count, tiles_y, tiles_x, tile):
     out = blend_tiles_pallas_fwd(attrs, tile_start, tile_count, tiles_y, tiles_x, tile)
-    return out, (attrs, tile_start, tile_count)
+    # residual includes the rendered tile planes: the backward's per-tile
+    # totals derive from them directly (see module docstring)
+    return out, (attrs, tile_start, tile_count, out[0])
 
 
-def _blend_core_bwd(tiles_y, tiles_x, tile, res, g_tiles):
-    attrs, tile_start, tile_count = res
+def _blend_core_bwd(tiles_y, tiles_x, tile, res, cts):
+    g_tiles, _g_observe = cts  # observe counts carry no gradient
+    attrs, tile_start, tile_count, fwd_out = res
+    col = jnp.arange(OUT_CH)
+    g_ch = jnp.where(col[None, None, :] == 9, 0.0, g_tiles)
+    G_total = jnp.sum(fwd_out * g_ch, axis=-1, keepdims=True)  # (T, P, 1)
+    T_final = fwd_out[..., 9:10]
+    gt = jnp.concatenate(
+        [G_total, T_final, jnp.zeros_like(fwd_out[..., :OUT_CH - 2])], axis=-1
+    )
     d_attrs = blend_tiles_pallas_bwd(
-        attrs, tile_start, tile_count, g_tiles, tiles_y, tiles_x, tile
+        attrs, tile_start, tile_count, g_tiles, gt, tiles_y, tiles_x, tile
     )
     # pass B writes every block deterministically (invalid lanes produce
     # exact zeros through the masks), but zero the never-covered columns
