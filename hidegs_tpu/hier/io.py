@@ -47,10 +47,30 @@ class Hierarchy(NamedTuple):
         return len(self.nodes)
 
 
-def write_hier(path: str, h: Hierarchy) -> None:
+def write_hier(path: str, h: Hierarchy, compressed: bool = False) -> None:
     P = len(h.pos)
     N = len(h.nodes)
     with open(path, "wb") as f:
+        if compressed:
+            # half-precision variant (hierarchy_writer.cpp:58-118)
+            np.int32(-P).tofile(f)
+            h.pos.astype("<f4").tofile(f)
+            h.rot.astype("<f2").tofile(f)
+            h.scale.astype("<f2").tofile(f)
+            h.alpha.astype("<f2").tofile(f)
+            h.shs.reshape(P, 48).astype("<f2").tofile(f)
+            np.int32(N).tofile(f)
+            raw = np.zeros(N, np.dtype("<i4,<i4,<i4,<4i2"))
+            raw["f0"] = h.nodes[:, PARENT]
+            raw["f1"] = h.nodes[:, START]
+            raw["f2"] = h.nodes[:, START_CHILDREN]
+            raw["f3"][:, 0] = h.nodes[:, DEPTH]
+            raw["f3"][:, 1] = h.nodes[:, COUNT_CHILDREN]
+            raw["f3"][:, 2] = h.nodes[:, COUNT_LEAFS]
+            raw["f3"][:, 3] = h.nodes[:, COUNT_MERGED]
+            raw.tofile(f)
+            h.boxes.reshape(N, 8).astype("<f2").tofile(f)
+            return
         np.int32(P).tofile(f)
         h.pos.astype("<f4").tofile(f)
         h.rot.astype("<f4").tofile(f)
@@ -67,9 +87,7 @@ def read_hier(path: str) -> Hierarchy:
     with open(path, "rb") as f:
         P = int(np.fromfile(f, "<i4", 1)[0])
         if P < 0:
-            raise NotImplementedError(
-                "compressed half-precision .hier not supported yet (types.h:61-66)"
-            )
+            return _read_hier_compressed(f, -P)
         pos = np.fromfile(f, "<f4", P * 3).reshape(P, 3)
         rot = np.fromfile(f, "<f4", P * 4).reshape(P, 4)
         scale = np.fromfile(f, "<f4", P * 3).reshape(P, 3)
@@ -78,6 +96,31 @@ def read_hier(path: str) -> Hierarchy:
         N = int(np.fromfile(f, "<i4", 1)[0])
         nodes = np.fromfile(f, "<i4", N * NODE_FIELDS).reshape(N, NODE_FIELDS)
         boxes = np.fromfile(f, "<f4", N * 8).reshape(N, 2, 4)
+    return Hierarchy(pos, rot, scale, alpha, shs, nodes, boxes)
+
+
+def _read_hier_compressed(f, P: int) -> Hierarchy:
+    """Half-precision variant (hierarchy_loader.cpp:66-128, HalfNode/HalfBox2
+    types.h:61-66): pos stays f32; rot/scale/alpha/shs are f16; nodes pack
+    depth/count_children/count_leafs/count_merged into int16 dccc[4]."""
+    pos = np.fromfile(f, "<f4", P * 3).reshape(P, 3)
+    rot = np.fromfile(f, "<f2", P * 4).reshape(P, 4).astype(np.float32)
+    scale = np.fromfile(f, "<f2", P * 3).reshape(P, 3).astype(np.float32)
+    alpha = np.fromfile(f, "<f2", P).astype(np.float32)
+    shs = np.fromfile(f, "<f2", P * 48).reshape(P, 16, 3).astype(np.float32)
+    N = int(np.fromfile(f, "<i4", 1)[0])
+    # HalfNode: int parent, start, start_children; short dccc[4]
+    raw = np.fromfile(f, np.dtype("<i4,<i4,<i4,<4i2"), N)
+    nodes = np.zeros((N, NODE_FIELDS), np.int32)
+    nodes[:, PARENT] = raw["f0"]
+    nodes[:, START] = raw["f1"]
+    nodes[:, START_CHILDREN] = raw["f2"]
+    dccc = raw["f3"].astype(np.int32)
+    nodes[:, DEPTH] = dccc[:, 0]
+    nodes[:, COUNT_CHILDREN] = dccc[:, 1]
+    nodes[:, COUNT_LEAFS] = dccc[:, 2]
+    nodes[:, COUNT_MERGED] = dccc[:, 3]
+    boxes = np.fromfile(f, "<f2", N * 8).reshape(N, 2, 4).astype(np.float32)
     return Hierarchy(pos, rot, scale, alpha, shs, nodes, boxes)
 
 

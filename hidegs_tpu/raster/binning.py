@@ -197,9 +197,18 @@ def align_binning(
     lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
     local = (bstart[:, None] - astart_b[:, None]) + lane  # (B, chunk)
     valid = (local < count_b[:, None]).reshape(-1)
-    src = (tstart_b[:, None] + local).reshape(-1)
-    src = jnp.clip(src, 0, I - 1)
-    gid = jnp.where(valid, tb.gauss_id[src], n_gaussians)  # ONE big gather
+    # each block's sources are CONTIGUOUS in the sorted list, so read them as
+    # batched 1-chunk windows (contiguous 512B moves) instead of a random
+    # per-element gather; a sentinel pad keeps tail windows in bounds without
+    # shifting (a shifted window would misalign lanes against `valid`)
+    gid_pad = jnp.concatenate(
+        [tb.gauss_id, jnp.full((chunk,), n_gaussians, tb.gauss_id.dtype)]
+    )
+    win_start = jnp.clip(tstart_b + (bstart - astart_b), 0, I)
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(gid_pad, (s,), (chunk,))
+    )(win_start)  # (B, chunk)
+    gid = jnp.where(valid, windows.reshape(-1), n_gaussians)
 
     # original sorted instance → aligned slot (for mapping gradients back)
     tid_cl = jnp.minimum(tb.tile_id, num_tiles - 1)

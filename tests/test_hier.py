@@ -195,3 +195,15 @@ def test_hier_cli_create_and_merge(tmp_path):
     cli.main(["merge", "--chunks", str(tmp_path), "--out", out2])
     m = read_hier(out2)
     assert m.num_nodes == 2 * h.num_nodes + 1
+
+
+def test_hier_io_compressed_roundtrip(tmp_path):
+    pos, rot, scale, alpha, shs = toy_leaves(16, seed=7)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    p = str(tmp_path / "c.hier")
+    hio.write_hier(p, h, compressed=True)
+    h2 = hio.read_hier(p)
+    np.testing.assert_allclose(h2.pos, h.pos, rtol=1e-6)  # pos stays f32
+    np.testing.assert_array_equal(h2.nodes, h.nodes)
+    np.testing.assert_allclose(h2.alpha, h.alpha, atol=2e-3)  # f16
+    np.testing.assert_allclose(h2.boxes, h.boxes, rtol=2e-3, atol=2e-3)
