@@ -8,7 +8,7 @@ resolution policy incl. the 1.6K auto-downscale). Images stay NumPy on host;
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

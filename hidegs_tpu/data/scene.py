@@ -8,9 +8,8 @@ Gaussian state from the point cloud (with optional skybox).
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -9,14 +9,13 @@ the weighted cluster-merge of the chunk roots (same math as the builder).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
 from hidegs_tpu.hier.io import (
     COUNT_CHILDREN,
     COUNT_LEAFS,
-    COUNT_MERGED,
     DEPTH,
     PARENT,
     START,

@@ -8,7 +8,7 @@ across), each process feeds only its local shard of cameras, and
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax
 import numpy as np

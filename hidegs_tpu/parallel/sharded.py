@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hidegs_tpu.model.adam import masked_adam_update
-from hidegs_tpu.model.densify import add_densification_stats
 from hidegs_tpu.model.schedules import expon_lr, lr_tree
 from hidegs_tpu.train.loop import TrainConfig, TrainState, ViewBatch, compute_losses
 

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 from hidegs_tpu.core import sh as shm
 from hidegs_tpu.core.camera_math import CameraParams
 from hidegs_tpu.core.geometry import depth_to_normal_cam, plane_depth_from_blend
-from hidegs_tpu.raster import binning as binning_mod
 from hidegs_tpu.raster.binning import TILE, bin_gaussians, tile_grid
 from hidegs_tpu.raster.blend_jnp import blend_tiles
 from hidegs_tpu.raster.preprocess import preprocess_gaussians

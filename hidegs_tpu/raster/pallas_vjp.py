@@ -66,13 +66,19 @@ def _passB_kernel(
         T_carry[:] = jnp.ones((P, 1), jnp.float32)
         R_carry[:] = jnp.zeros((P, 1), jnp.float32)
 
-    # pure-padding blocks (the static-slack tail) must still write their
-    # gradient block, but skip all math — they can be ~45% of the grid
-    @pl.when(nvalid == 0)
+    # Skip-to-zero cases: pure-padding blocks (the static-slack tail), and
+    # blocks of already-opaque tiles — once T < 1e-4 every instance gets a
+    # vanishing gradient (w ≈ 0, S ≈ 0), which the CUDA backward also skips
+    # by walking only contributing gaussians (backward.cu:500-560). This
+    # mirrors the forward's early-termination skip and is what keeps the
+    # backward at forward-like cost.
+    live = (jnp.max(T_carry[:]) >= T_EPS) & (nvalid > 0)
+
+    @pl.when(jnp.logical_not(live))
     def _():
         d_ref[:] = jnp.zeros((ATTR, CHUNK), jnp.float32)
 
-    @pl.when(nvalid > 0)
+    @pl.when(live)
     def _():
         pix_x, pix_y = _tile_pixels(t, tiles_x, tile)
         a = attr_ref[:]

@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from hidegs_tpu.core.camera_math import CameraParams, pixel_rays, project_points
+from hidegs_tpu.core.camera_math import CameraParams, project_points
 from hidegs_tpu.core.geometry import (
     apply_homography,
     bilinear_sample,

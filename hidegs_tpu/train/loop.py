@@ -34,7 +34,7 @@ from hidegs_tpu.model.schedules import LRConfig, expon_lr, lr_tree
 from hidegs_tpu.raster.api import RasterConfig, render
 from hidegs_tpu.train.frequency import frequency_regularization
 from hidegs_tpu.train.geometric import MultiViewBatch, multi_view_losses, single_view_normal_loss
-from hidegs_tpu.train.losses import dssim_l1, l1_loss
+from hidegs_tpu.train.losses import dssim_l1
 
 
 @dataclass(frozen=True)

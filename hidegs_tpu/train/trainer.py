@@ -12,8 +12,6 @@ import argparse
 import os
 import random
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,7 +39,6 @@ from hidegs_tpu.train.loop import (
     maybe_host_side_schedule,
     train_step,
 )
-from hidegs_tpu.train.losses import psnr
 
 
 def train_config_from_opt(opt: OptimizationConfig, pipe: PipelineConfig, n_init: int) -> TrainConfig:
@@ -189,7 +186,7 @@ def train(
             multi_view_max_angle=model_cfg.multi_view_max_angle,
             multi_view_min_dis=model_cfg.multi_view_min_dis,
             multi_view_max_dis=model_cfg.multi_view_max_dis,
-            cache_all=len_cap(model_cfg),
+            cache_all=_cache_images(model_cfg),
         )
     n_views = len(scene.train_cameras)
     assert n_views > 0, "no training cameras"
@@ -253,6 +250,13 @@ def train(
                 f"({(time.time() - t0):.1f}s)",
                 flush=True,
             )
+            if m.get("overflow", 0) > 0:
+                print(
+                    f"  WARNING: instance budget overflow ({int(m['overflow'])} "
+                    f"dropped) — raise --max_instances (currently "
+                    f"{cfg.raster.max_instances})",
+                    flush=True,
+                )
         if model_cfg.model_path and it in save_iterations:
             d = save_train_state(
                 ts, os.path.join(model_cfg.model_path, "point_cloud"), it
@@ -261,8 +265,11 @@ def train(
     return ts
 
 
-def len_cap(model_cfg) -> bool:
-    return True  # cache decoded images; revisit for very large scenes
+def _cache_images(model_cfg) -> bool:
+    """Keep decoded images in memory. Large chunked scenes (≤1500 cams per
+    chunk, make_chunk.py) fit comfortably; revisit if full-scene training at
+    original resolution ever exceeds host RAM."""
+    return True
 
 
 def main(argv=None):
