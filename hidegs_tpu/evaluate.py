@@ -52,6 +52,11 @@ def evaluate_set(name, dataset, arrays, cfg: RasterConfig, out_dir, lpips_fn=Non
         img = jnp.clip(out["render"], 0.0, 1.0)
         gt = jnp.asarray(cam.image)
         mask = jnp.asarray(cam.alpha_mask) if cam.alpha_mask is not None else None
+        if mask is not None:
+            # reference multiplies the alpha mask into both images before all
+            # metrics (eval.py:291-336)
+            img = img * mask[None]
+            gt = gt * mask[None]
         p = float(psnr(img, gt, mask))
         s = float(ssim(img, gt))
         l = float(lpips_fn(img, gt)) if lpips_fn else float("nan")

@@ -61,3 +61,25 @@ def test_pallas_gradients_match_jnp():
         assert np.isfinite(b).all(), name
         denom = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / denom, a / denom, atol=5e-3, err_msg=name)
+
+
+def test_pallas_backend_in_train_step():
+    """The pallas custom-VJP path composes with the full jitted train step."""
+    from hidegs_tpu.model.gaussians import init_from_points
+    from hidegs_tpu.train.loop import TrainConfig, ViewBatch, init_train_state, train_step
+
+    scene = make_toy_gaussians(40, seed=2)
+    cam = ring_camera(0, height=32, width=32)
+    cfg_r = RasterConfig(backend="pallas", max_instances=1 << 11)
+    cfg = TrainConfig(
+        iterations=10, raster=cfg_r, freq_warmup=10_000, single_view_weight=0.015,
+        single_view_from=0,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        gt = render(*scene, cam, config=cfg_r)["render"]
+        state = init_from_points(scene.means3d, jnp.full((40, 3), 0.5), capacity=64)
+        ts = init_train_state(state, num_images=1)
+        ts, metrics = train_step(ts, ViewBatch(cam=cam, image=gt, image_idx=jnp.int32(0)), cfg)
+    assert np.isfinite(float(metrics["total"]))
+    for name in ts.gaussians.params._fields:
+        assert np.isfinite(np.asarray(getattr(ts.gaussians.params, name))).all(), name
