@@ -30,9 +30,10 @@ def main():
 
     scene = make_toy_gaussians(N_GAUSSIANS, seed=0)
     cam = ring_camera(0, height=H, width=W)
-    # budget sized to the workload (~221k instances measured): the jnp path's
-    # cost scales with the static budget, so a tight budget matters
-    cfg = RasterConfig(backend="jnp", max_instances=1 << 18)
+    # budget sized to the workload (~221k instances measured); pallas is the
+    # production backend (19.0 Mpix/s vs 8.9 for the XLA segmented path on
+    # this workload — docs/BENCHMARKS.md)
+    cfg = RasterConfig(backend="pallas", max_instances=1 << 18)
     target = jnp.zeros((3, H, W))
 
     def loss_fn(means3d, scales, quats, opacities, shs):

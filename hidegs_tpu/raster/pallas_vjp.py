@@ -221,12 +221,16 @@ def _blend_core_bwd(tiles_y, tiles_x, tile, res, cts):
     )
     # pass B writes every block deterministically (invalid lanes produce
     # exact zeros through the masks), but zero the never-covered columns
-    # anyway for belt-and-braces against non-finite junk
+    # anyway for belt-and-braces against non-finite junk. Block-level tables
+    # + a broadcast — NOT a per-slot searchsorted, which costs ~50ms at
+    # millions of slots on TPU.
     I = attrs.shape[1]
-    slots = jnp.arange(I, dtype=jnp.int32)
-    t_of = jnp.searchsorted(tile_start, slots, side="right").astype(jnp.int32) - 1
-    t_of = jnp.clip(t_of, 0, tile_start.shape[0] - 1)
-    covered = (slots - tile_start[t_of]) < tile_count[t_of]
+    nb = I // CHUNK
+    _, _, nvalid_b = block_tables(tile_start, tile_count, nb)
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+    covered = (lane < nvalid_b[:, None]).reshape(-1)
+    if covered.shape[0] < I:
+        covered = jnp.pad(covered, (0, I - covered.shape[0]))
     d_attrs = jnp.where(covered[None, :], d_attrs, 0.0)
     return d_attrs, None, None
 

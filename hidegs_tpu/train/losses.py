@@ -75,7 +75,9 @@ def ssim(
     ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
-    return jnp.mean(ssim_map)
+    # SSIM ∈ [-1, 1] mathematically; fp32 can spill slightly past 1 on
+    # near-identical images, which would make (1 - ssim) losses negative
+    return jnp.clip(jnp.mean(ssim_map), -1.0, 1.0)
 
 
 def dssim_l1(pred: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2) -> jnp.ndarray:

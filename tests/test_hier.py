@@ -207,3 +207,20 @@ def test_hier_io_compressed_roundtrip(tmp_path):
     np.testing.assert_array_equal(h2.nodes, h.nodes)
     np.testing.assert_allclose(h2.alpha, h.alpha, atol=2e-3)  # f16
     np.testing.assert_allclose(h2.boxes, h.boxes, rtol=2e-3, atol=2e-3)
+
+
+def test_expand_to_target_cpu():
+    """CPU breadth expansion (traversal.cpp equivalent)."""
+    from hidegs_tpu.hier.lod import expand_to_target
+
+    pos, rot, scale, alpha, shs = toy_leaves(16, seed=8)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    # target deeper than the tree → all leaves
+    idx = expand_to_target(h.nodes, target=-1)
+    assert len(idx) == 16
+    # only gaussians, all unique
+    assert len(set(idx.tolist())) == 16
+    # a shallow target selects fewer, coarser entries
+    root_depth = int(h.nodes[0, 0])
+    idx2 = expand_to_target(h.nodes, target=root_depth - 1)
+    assert 0 < len(idx2) <= 16
