@@ -38,16 +38,32 @@ class CameraParams:
     cy: jnp.ndarray  # ()
     height: int  # static
     width: int  # static
+    # Frustum extent used by the EWA tangent clamp. Differs from height/width
+    # only for band crops (parallel/bands.py): a crop must keep the FULL
+    # frame's clamp or near-band-edge gaussians get pulled inward.
+    full_height: int = 0  # 0 → height
+    full_width: int = 0  # 0 → width
 
     def tree_flatten(self):
         return (self.R, self.t, self.fx, self.fy, self.cx, self.cy), (
             self.height,
             self.width,
+            self.full_height,
+            self.full_width,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, height=aux[0], width=aux[1])
+        return cls(*children, height=aux[0], width=aux[1],
+                   full_height=aux[2], full_width=aux[3])
+
+    @property
+    def frustum_height(self) -> int:
+        return self.full_height or self.height
+
+    @property
+    def frustum_width(self) -> int:
+        return self.full_width or self.width
 
     @property
     def camera_center(self) -> jnp.ndarray:

@@ -55,8 +55,9 @@ def project_gaussians(
 
     # Mirror the reference's tangent-plane clamp (forward.cu:147-155): limit
     # x/z, y/z to 1.3x the frustum half-extent before building the Jacobian.
-    tan_half_x = cam.width / (2.0 * cam.fx)
-    tan_half_y = cam.height / (2.0 * cam.fy)
+    # frustum_* = full-frame dims even for band crops (core/camera_math.py).
+    tan_half_x = cam.frustum_width / (2.0 * cam.fx)
+    tan_half_y = cam.frustum_height / (2.0 * cam.fy)
     txz = jnp.clip(x / zs, -1.3 * tan_half_x, 1.3 * tan_half_x)
     tyz = jnp.clip(y / zs, -1.3 * tan_half_y, 1.3 * tan_half_y)
 
