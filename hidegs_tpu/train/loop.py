@@ -161,7 +161,13 @@ def compute_losses(
     img = jnp.clip(img, 0.0, 1.0)
 
     aux: Dict[str, jnp.ndarray] = {}
-    photo = dssim_l1(img, batch.image, cfg.lambda_dssim)
+    gt = batch.image
+    if batch.alpha_mask is not None:
+        # masked scenes: exclude invalid pixels from the photometric terms
+        # (reference multiplies the alpha mask into both images)
+        img = img * batch.alpha_mask[None]
+        gt = gt * batch.alpha_mask[None]
+    photo = dssim_l1(img, gt, cfg.lambda_dssim)
     aux["photo"] = photo
     total = photo
 
@@ -177,7 +183,7 @@ def compute_losses(
     if cfg.lambda_freq > 0 or cfg.lambda_scale > 0:
         freq_loss, _, dbg = frequency_regularization(
             img,
-            batch.image,
+            gt,
             gaussians.scales,
             out["visibility"],
             step,
@@ -190,7 +196,7 @@ def compute_losses(
 
     if render_geo and cfg.single_view_weight > 0:
         sv = single_view_normal_loss(
-            out["rendered_normal"], out["depth_normal"], batch.image, out["alpha"]
+            out["rendered_normal"], out["depth_normal"], gt, out["alpha"]
         )
         w_sv = jnp.where(jnp.asarray(step) >= cfg.single_view_from, cfg.single_view_weight, 0.0)
         total = total + w_sv * sv
