@@ -39,7 +39,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 128  # instances per block (= lane width: aligned slices)
+# instances per block; must be a multiple of 128 (lane-aligned slices).
+# Larger blocks amortize per-grid-step overhead at the cost of more wasted
+# lanes on sparsely-populated tiles. Overridable for experiments.
+import os as _os
+
+CHUNK = int(_os.environ.get("HIDEGS_CHUNK", "128"))
+assert CHUNK % 128 == 0
 ATTR = 16  # packed attribute channels
 OUT_CH = 16  # packed output channels
 T_EPS = 1e-4
