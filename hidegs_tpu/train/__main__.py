@@ -1,3 +1,4 @@
 from hidegs_tpu.train.trainer import main
 
-main()
+if __name__ == "__main__":
+    main()
