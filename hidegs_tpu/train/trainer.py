@@ -251,11 +251,19 @@ def train(
                 flush=True,
             )
             if m.get("overflow", 0) > 0:
+                # auto re-budget (SURVEY §7.3 #1 "occasional host-side
+                # re-budgeting"): double the static instance budget; the next
+                # step recompiles once at the new shape
+                import dataclasses
+
+                new_budget = cfg.raster.max_instances * 2
                 print(
-                    f"  WARNING: instance budget overflow ({int(m['overflow'])} "
-                    f"dropped) — raise --max_instances (currently "
-                    f"{cfg.raster.max_instances})",
+                    f"  instance budget overflow ({int(m['overflow'])} dropped) — "
+                    f"growing max_instances {cfg.raster.max_instances} → {new_budget}",
                     flush=True,
+                )
+                cfg = dataclasses.replace(
+                    cfg, raster=dataclasses.replace(cfg.raster, max_instances=new_budget)
                 )
         if model_cfg.model_path and it in save_iterations:
             d = save_train_state(
