@@ -97,8 +97,12 @@ def project_gaussians(
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det_d))
     radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
-    u = cam.fx * txz + cam.cx
-    v = cam.fy * tyz + cam.cy
+    # splat centers come from the UNCLAMPED projection (forward.cu:383
+    # ndc2Pix of p_proj) — the tangent clamp above exists only to tame the
+    # EWA Jacobian; projecting clamped tangents would pin off-frustum
+    # gaussians to a border band and kill their position gradients
+    u = cam.fx * (x / zs) + cam.cx
+    v = cam.fy * (y / zs) + cam.cy
     mean2d = jnp.stack([u, v], axis=-1)
 
     valid = in_frustum & (det_d > 0.0)

@@ -122,15 +122,26 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     out = {}
     with open(path) as f:
-        lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
-    for i in range(0, len(lines), 2):
-        el = lines[i].split()
+        lines = [l.rstrip("\n") for l in f if not l.startswith("#")]
+    # format: 2 lines per image; the POINTS2D line is EMPTY for images with
+    # no triangulated points, so it must NOT be filtered out (the reference
+    # reads it unconditionally, colmap_loader.py) — skip empties only when
+    # expecting a header.
+    i = 0
+    while i < len(lines):
+        header = lines[i].strip()
+        i += 1
+        if not header:
+            continue
+        pts_line = lines[i].strip() if i < len(lines) else ""
+        i += 1
+        el = header.split()
         iid = int(el[0])
         qvec = np.array([float(x) for x in el[1:5]])
         tvec = np.array([float(x) for x in el[5:8]])
         camera_id = int(el[8])
         name = el[9]
-        pts = lines[i + 1].split() if i + 1 < len(lines) else []
+        pts = pts_line.split()
         xys = np.array([float(x) for x in pts], dtype=np.float64)
         if xys.size:
             xys = xys.reshape(-1, 3)

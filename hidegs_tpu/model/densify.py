@@ -52,6 +52,9 @@ def add_densification_stats(
     """
     gnorm = jnp.linalg.norm(screen_grad[:, :2], axis=-1)
     gabs = jnp.sum(jnp.abs(screen_grad[:, :2]), axis=-1)
+    # grad_abs_max mirrors the reference's xyz_gradient_accum_abs, whose
+    # consumer (the abs-threshold split variant) is commented out in the
+    # reference (gaussian_model.py:683-695); kept for parity + future use.
     return state._replace(
         grad_max=jnp.where(visible, jnp.maximum(state.grad_max, gnorm), state.grad_max),
         grad_abs_max=jnp.where(

@@ -59,8 +59,13 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, use_exposure: bool = False)
 
         # Per-view screenspace gradients: the mean loss contributes 1/V per
         # view, so scale back to single-view magnitude before the running-max
-        # densification stat (matches the sequential loop's semantics).
-        sg = screen_grads * V  # (V, C, 2)
+        # densification stat (matches the sequential loop's semantics); then
+        # to the reference's (0.5·W, 0.5·H) NDC-gradient units like
+        # train/loop.py (backward.cu:604,754).
+        grad_scale = jnp.array(
+            [0.5 * batch.cam.width, 0.5 * batch.cam.height], jnp.float32
+        )
+        sg = screen_grads * V * grad_scale  # (V, C, 2)
         gnorm = jnp.linalg.norm(sg[..., :2], axis=-1)  # (V, C)
         gabs = jnp.sum(jnp.abs(sg[..., :2]), axis=-1)
         vis = auxs["visibility"]  # (V, C)

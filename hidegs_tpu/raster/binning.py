@@ -113,19 +113,26 @@ def bin_gaussians(
     g = jax.lax.cummax(owner)
     valid = slots < total
 
-    # one row gather for all per-gaussian fields needed below
+    # one row gather for all per-gaussian fields needed below. `starts` can
+    # exceed 2^24 (the budget auto-doubles on overflow), so it would lose
+    # bits in a single f32 lane — split into exact hi/lo halves (each < 2^12
+    # and < budget/2^12 ≤ 2^24, both exactly representable).
+    starts_hi = (starts >> 12).astype(jnp.float32)
+    starts_lo = (starts & 0xFFF).astype(jnp.float32)
     packed = jnp.stack(
         [
             x0.astype(jnp.float32),
             y0.astype(jnp.float32),
             jnp.maximum(w, 1).astype(jnp.float32),
-            starts.astype(jnp.float32),
+            starts_hi,
             pre.depth,
+            starts_lo,
         ],
         axis=-1,
-    )  # (N, 5)
+    )  # (N, 6)
     rows = packed[g]
-    local = slots - rows[:, 3].astype(jnp.int32)
+    g_start = (rows[:, 3].astype(jnp.int32) << 12) | rows[:, 5].astype(jnp.int32)
+    local = slots - g_start
     gw = rows[:, 2].astype(jnp.int32)
     tx = rows[:, 0].astype(jnp.int32) + local % gw
     ty = rows[:, 1].astype(jnp.int32) + local // gw

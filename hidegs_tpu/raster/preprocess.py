@@ -81,7 +81,11 @@ def preprocess_gaussians(
         # flip so the normal faces the camera (n · p < 0)
         flip = jnp.where(jnp.sum(n_cam * p_cam, axis=-1, keepdims=True) > 0, -1.0, 1.0)
         n_cam = n_cam * flip
-        distance = jnp.sum(n_cam * p_cam, axis=-1)
+        # POSITIVE plane distance |n·p| (gaussian_renderer/__init__.py:165
+        # local_distance = (...).sum(-1).abs()); with the flip above n·p ≤ 0,
+        # so |n·p| = −(n·p). The sign matters: plane_depth divides by
+        # −(n·ray) > 0, and a negative distance would flip every depth.
+        distance = -jnp.sum(n_cam * p_cam, axis=-1)
     else:
         n_cam = jnp.zeros_like(means3d)
         distance = jnp.zeros_like(proj.depth)

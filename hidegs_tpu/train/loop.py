@@ -253,7 +253,16 @@ def train_step(ts: TrainState, batch: ViewBatch, cfg: TrainConfig, use_exposure:
     )
 
     g_state = ts.gaussians._replace(params=new_params)
-    g_state = add_densification_stats(g_state, screen_grads, visible, aux["radii"])
+    # match the reference's gradient units: the CUDA backward scales
+    # dL/dmean2D by (0.5·W, 0.5·H) (backward.cu:604,754 ddelx_dx/ddely_dy),
+    # and densify_grad_threshold=0.015 is calibrated for those units — raw
+    # pixel-unit grads would be ~W/2 smaller and never trigger densification
+    grad_scale = jnp.array(
+        [0.5 * batch.cam.width, 0.5 * batch.cam.height], jnp.float32
+    )
+    g_state = add_densification_stats(
+        g_state, screen_grads * grad_scale, visible, aux["radii"]
+    )
 
     # exposure Adam (dense, tiny) — separate optimizer like the reference's
     # exposure_optimizer (gaussian_model.py:313-314)

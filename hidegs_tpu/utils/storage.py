@@ -110,5 +110,8 @@ def load_scaffold(
     cheb = np.maximum(dist[:, 0], dist[:, 1])
     sel = (cheb > 0.5 * extent[0]) & (cheb < 1.5 * extent[0])
     if skybox:
-        sel[:skybox] = True  # reference keeps the scaffold's skybox rows
+        # keep the scaffold's skybox rows — THIS codebase stores the skybox
+        # at the buffer TAIL (trainer appends it; interp takes the last rows),
+        # unlike the reference's head convention
+        sel[-skybox:] = True
     return {k: v[sel] for k, v in d.items()}

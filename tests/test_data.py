@@ -130,3 +130,23 @@ def test_gaussian_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(back["sh_dc"], np.asarray(st.params.sh_dc)[:20], rtol=1e-6)
     np.testing.assert_allclose(back["scaling"], np.asarray(st.params.scaling)[:20], rtol=1e-6)
     assert back["sh_rest"].shape == (20, 15, 3)
+
+
+def test_images_text_with_empty_points_line(tmp_path):
+    """COLMAP text images with zero POINTS2D have an EMPTY second line; the
+    parser must keep pairing headers and points correctly."""
+    txt = (
+        "# comment\n"
+        "1 1 0 0 0 0.5 0.5 0.5 1 a.png\n"
+        "\n"  # image 1 has no points
+        "2 1 0 0 0 1.5 1.5 1.5 1 b.png\n"
+        "10.0 20.0 7 30.0 40.0 8\n"
+    )
+    p = tmp_path / "images.txt"
+    p.write_text(txt)
+    imgs = colmap.read_images_text(str(p))
+    assert set(imgs) == {1, 2}
+    assert len(imgs[1].xys) == 0
+    assert imgs[2].name == "b.png"
+    np.testing.assert_allclose(imgs[2].xys, [[10.0, 20.0], [30.0, 40.0]])
+    np.testing.assert_array_equal(imgs[2].point3d_ids, [7, 8])

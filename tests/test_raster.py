@@ -165,3 +165,26 @@ def test_quantized_sort_matches_exact():
     np.testing.assert_allclose(
         np.array(out_q["render"]), np.array(out_exact["render"]), atol=5e-3
     )
+
+
+def test_plane_depth_sign_and_value():
+    """A camera-facing plane gaussian at z=d must yield plane_depth ≈ +d
+    (reference stores |n·p|, gaussian_renderer/__init__.py:165)."""
+    import jax.numpy as jnp
+
+    from hidegs_tpu.core.sh import NUM_SH_COEFFS, rgb_to_sh_dc
+
+    cam = make_camera(jnp.eye(3), jnp.zeros(3), fx=60.0, fy=60.0, height=32, width=32)
+    means = jnp.array([[0.0, 0.0, 5.0]])
+    scales = jnp.array([[1.0, 1.0, 1e-4]])  # flat disc facing the camera
+    quats = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    opac = jnp.array([0.95])
+    shs = jnp.zeros((1, NUM_SH_COEFFS, 3)).at[:, 0].set(rgb_to_sh_dc(jnp.array([[1.0, 1, 1]])))
+    out = render(
+        means, scales, quats, opac, shs, cam, render_geo=True,
+        config=RasterConfig(max_instances=1 << 12),
+    )
+    center_depth = float(out["plane_depth"][16, 16])
+    assert abs(center_depth - 5.0) < 0.05, center_depth
+    # distance channel positive where covered
+    assert float(out["rendered_distance"][16, 16]) > 0
