@@ -186,3 +186,30 @@ def test_knn_match_pairs():
         p = os.path.join(d, "pairs.txt")
         write_match_list(pairs, p)
         assert len(open(p).readlines()) == len(pairs)
+
+
+def test_mask_utilities(tmp_path):
+    from PIL import Image
+
+    from hidegs_tpu.preprocess.masks import (
+        black_border_mask,
+        normalize_mask,
+        prepare_masks,
+    )
+
+    img = np.full((8, 8, 3), 128, np.uint8)
+    img[:2, :] = 0  # black band
+    m = black_border_mask(img)
+    assert m.dtype == np.uint8
+    assert (m[:2] == 0).all() and (m[2:] == 255).all()
+
+    assert (normalize_mask(np.array([[True, False]])) == [[255, 0]]).all()
+    assert (normalize_mask(np.array([[0.9, 0.1]], np.float32)) == [[255, 0]]).all()
+    assert (normalize_mask(np.array([[60000, 10]], np.uint16)) == [[255, 0]]).all()
+
+    (tmp_path / "images").mkdir()
+    Image.fromarray(img).save(tmp_path / "images" / "a.png")
+    n = prepare_masks(str(tmp_path / "images"), str(tmp_path / "masks"), from_black_border=True)
+    assert n == 1
+    out = np.asarray(Image.open(tmp_path / "masks" / "a.png"))
+    assert (out[:2] == 0).all()
