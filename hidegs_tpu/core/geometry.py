@@ -81,10 +81,14 @@ def homography_from_plane(
 ) -> jnp.ndarray:
     """Plane-induced homography mapping ref pixels → src pixels.
 
-    For a plane n·X = d in the REF camera frame (n unit, pointing at camera,
-    d = n·X > 0 for points in front), the standard result:
-        H = K_src (R_rel - t_rel nᵀ / d) K_ref⁻¹
-    with [R_rel | t_rel] mapping ref-cam coords → src-cam coords.
+    For a plane nᵀX = d in the REF camera frame, a point X on it satisfies
+    nᵀX/d = 1, so X_src = R_rel X + t_rel = (R_rel + t_rel nᵀ/d) X, giving
+        H = K_src (R_rel + t_rel nᵀ / d) K_ref⁻¹
+    (the − form belongs to the nᵀX + d = 0 convention; using it here warps
+    patches hundreds of pixels off — caught by the homography-vs-projection
+    consistency check in tests). Works for either sign convention of d as
+    long as (n, d) satisfy nᵀX = d together — our sampled normals face the
+    camera so d < 0, which cancels consistently.
     normal_ref: (..., 3), distance_ref: (...,) → (..., 3, 3) homographies.
     (reference: utils/graphics_utils.py:100-106 patch_warp usage in the
     multi-view NCC loss.)
@@ -95,7 +99,7 @@ def homography_from_plane(
     K_ref_inv = jnp.linalg.inv(cam_ref.K)
     d = distance_ref[..., None, None]
     n = normal_ref[..., None, :]  # (..., 1, 3)
-    M = R_rel - (t_rel[:, None] * n) / jnp.where(jnp.abs(d) < 1e-8, 1e-8, d)
+    M = R_rel + (t_rel[:, None] * n) / jnp.where(jnp.abs(d) < 1e-8, 1e-8, d)
     return jnp.einsum("ij,...jk,kl->...il", K_src, M, K_ref_inv)
 
 

@@ -136,3 +136,51 @@ def test_dilate_erode():
     assert float(d.sum()) == 9.0
     e = losses.erode(d)
     assert float(e.sum()) == 1.0 and float(e[4, 4]) == 1.0
+
+
+def test_homography_matches_projection_on_plane():
+    """Plane-induced homography must agree with direct projection for points
+    ON the plane (regression: a sign-flipped formula warped patches hundreds
+    of pixels off and silently zeroed the multi-view losses)."""
+    from hidegs_tpu.core.camera_math import project_points
+    from hidegs_tpu.core.geometry import apply_homography, homography_from_plane
+    from hidegs_tpu.data.synthetic import ring_camera
+
+    cam0 = ring_camera(0, n_cams=8, height=96, width=96)
+    cam1 = ring_camera(1, n_cams=8, height=96, width=96)
+    n = jnp.array([[0.0, 0.0, -1.0]])  # plane z = 5 in ref frame: nᵀX = -5
+    d = jnp.array([-5.0])
+    H = homography_from_plane(n, d, cam0, cam1)
+    uv = jnp.array([[48.0, 48.0], [20.0, 70.0], [80.0, 15.0]])
+    x = (uv[:, 0] - cam0.cx) / cam0.fx
+    y = (uv[:, 1] - cam0.cy) / cam0.fy
+    X = jnp.stack([x, y, jnp.ones_like(x)], -1) * 5.0
+    R_rel = cam1.R @ cam0.R.T
+    t_rel = cam1.t - R_rel @ cam0.t
+    uv_direct, _ = project_points(X @ R_rel.T + t_rel, cam1)
+    uv_h = apply_homography(jnp.broadcast_to(H, (3, 3, 3)), uv)
+    np.testing.assert_allclose(np.asarray(uv_h), np.asarray(uv_direct), atol=1e-3)
+
+
+def test_multi_view_losses_nonzero_on_real_pair():
+    from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
+    from hidegs_tpu.raster.api import RasterConfig, render
+    from hidegs_tpu.train.geometric import MultiViewBatch, multi_view_losses
+
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 14)
+    scene = make_toy_gaussians(500, seed=2)
+    cam0 = ring_camera(0, n_cams=8, height=96, width=96)
+    cam1 = ring_camera(1, n_cams=8, height=96, width=96)
+    out0 = render(*scene, cam0, render_geo=True, config=cfg)
+    out1 = render(*scene, cam1, render_geo=True, config=cfg)
+    ncc, geo = multi_view_losses(
+        out0["plane_depth"], out0["rendered_normal"],
+        jnp.mean(out0["render"], axis=0), cam0,
+        MultiViewBatch(
+            src_image_gray=jnp.mean(out1["render"], axis=0),
+            src_plane_depth=out1["plane_depth"], src_cam=cam1,
+        ),
+        jax.random.PRNGKey(0), num_samples=4096,
+    )
+    assert float(geo) > 0.0, "geometric term must see valid samples"
+    assert 0.0 < float(ncc) < 2.0
