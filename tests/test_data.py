@@ -150,3 +150,50 @@ def test_images_text_with_empty_points_line(tmp_path):
     assert imgs[2].name == "b.png"
     np.testing.assert_allclose(imgs[2].xys, [[10.0, 20.0], [30.0, 40.0]])
     np.testing.assert_array_equal(imgs[2].point3d_ids, [7, 8])
+
+
+def test_camera_loading_with_depth_and_mask(tmp_path):
+    """Full loadCam path: image + 16-bit inverse-depth png + alpha mask +
+    depth_params scaling and reliability gating (scene/cameras.py:101-119)."""
+    import numpy as np
+    from PIL import Image
+
+    from hidegs_tpu.data.cameras import CameraInfo, load_camera
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(24, 32, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "im.png")
+    inv16 = (rng.rand(24, 32) * 65535).astype(np.uint16)
+    Image.fromarray(inv16, mode="I;16").save(tmp_path / "im_depth.png")
+    mask = np.zeros((24, 32), np.uint8)
+    mask[:, 16:] = 255
+    Image.fromarray(mask).save(tmp_path / "im_mask.png")
+
+    info = CameraInfo(
+        uid=1, R=np.eye(3), t=np.zeros(3), fx=30, fy=30, cx=16, cy=12,
+        width=32, height=24,
+        image_path=str(tmp_path / "im.png"), image_name="im.png",
+        depth_path=str(tmp_path / "im_depth.png"),
+        depth_params={"scale": 2.0, "offset": 0.1, "med_scale": 2.0},
+        mask_path=str(tmp_path / "im_mask.png"),
+    )
+    cam = load_camera(info)
+    assert cam.image.shape == (3, 24, 32)
+    assert cam.invdepth is not None and cam.invdepth.shape == (24, 32)
+    # scaled: inv/65535*2 + 0.1 ∈ [0.1, 2.1]
+    assert cam.invdepth.min() >= 0.1 - 1e-5 and cam.invdepth.max() <= 2.1 + 1e-5
+    assert cam.depth_reliable
+    assert cam.alpha_mask is not None
+    np.testing.assert_array_equal(cam.alpha_mask[:, :16], 0.0)
+    np.testing.assert_array_equal(cam.alpha_mask[:, 16:], 1.0)
+
+    # unreliable when per-image scale is far from the scene median
+    info_bad = CameraInfo(
+        uid=2, R=np.eye(3), t=np.zeros(3), fx=30, fy=30, cx=16, cy=12,
+        width=32, height=24,
+        image_path=str(tmp_path / "im.png"), image_name="im.png",
+        depth_path=str(tmp_path / "im_depth.png"),
+        depth_params={"scale": 100.0, "offset": 0.0, "med_scale": 2.0},
+    )
+    cam_bad = load_camera(info_bad)
+    assert not cam_bad.depth_reliable
