@@ -48,6 +48,10 @@ class PipelineConfig:
     raster_backend: str = "jnp"  # "jnp" | "pallas" | "oracle"
     max_instances: int = 1 << 21
     capacity: int = 0  # gaussian buffer capacity; 0 → auto from init size
+    # frequency-regularization debug panels, dumped every N iters to
+    # <model_path>/freq_debug/ (reference save_visualizations cadence,
+    # scripts/frequency_regularization.py:1446-1577; 0 disables)
+    debug_panel_every: int = 0
 
 
 @dataclass

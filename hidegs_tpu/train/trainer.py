@@ -163,6 +163,37 @@ def render_plane_depth(ts: TrainState, cam_params, cfg: TrainConfig):
     return jax.lax.stop_gradient(out["plane_depth"])
 
 
+def save_frequency_panel(ts: TrainState, cam, cfg: TrainConfig, model_path: str, it: int):
+    """Dump the 2x2 frequency-regularization debug panel for the current view
+    (render / gt / high-freq mask / gt log-FFT). Matches the reference's
+    save_visualizations hook (frequency_regularization.py:1446-1577), which
+    writes panels every 1000 iterations while the freq loss is active. The
+    view is re-rendered outside the jitted step — cheap at the dump cadence."""
+    from hidegs_tpu.train.frequency import high_frequency_mask, save_debug_panel
+
+    g = ts.gaussians
+    out = render(
+        jax.lax.stop_gradient(g.params.xyz),
+        g.scales,
+        g.quats,
+        g.opacities,
+        g.shs,
+        cam.cam_params(),
+        active_sh_degree=g.active_sh_degree,
+        config=cfg.raster,
+    )
+    gt = jnp.asarray(cam.image)
+    mask = high_frequency_mask(gt)
+    save_debug_panel(
+        jnp.clip(out["render"], 0.0, 1.0),
+        gt,
+        mask,
+        os.path.join(model_path, "freq_debug"),
+        it,
+        camera_name=os.path.splitext(cam.info.image_name)[0] if cam.info.image_name else "",
+    )
+
+
 def train(
     model_cfg: ModelConfig,
     pipe_cfg: PipelineConfig,
@@ -265,6 +296,12 @@ def train(
                 cfg = dataclasses.replace(
                     cfg, raster=dataclasses.replace(cfg.raster, max_instances=new_budget)
                 )
+        if (
+            model_cfg.model_path
+            and pipe_cfg.debug_panel_every > 0
+            and it % pipe_cfg.debug_panel_every == 0
+        ):
+            save_frequency_panel(ts, cam, cfg, model_cfg.model_path, it)
         if model_cfg.model_path and it in save_iterations:
             d = save_train_state(
                 ts, os.path.join(model_cfg.model_path, "point_cloud"), it

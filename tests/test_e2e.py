@@ -66,7 +66,9 @@ def test_trainer_end_to_end(colmap_scene, tmp_path):
         eval=True,
         skybox_num=8,
     )
-    pipe_cfg = PipelineConfig(raster_backend="jnp", max_instances=1 << 13, capacity=512)
+    pipe_cfg = PipelineConfig(
+        raster_backend="jnp", max_instances=1 << 13, capacity=512, debug_panel_every=30
+    )
     opt_cfg = OptimizationConfig(
         iterations=40,
         densify_from_iter=15,
@@ -88,6 +90,9 @@ def test_trainer_end_to_end(colmap_scene, tmp_path):
     assert (tmp_path / "model" / "multi_view.json").exists()
     # skybox survived protected
     assert bool(ts.gaussians.protected.sum() == 8)
+    # frequency debug panel dumped at the configured cadence
+    panels = list((tmp_path / "model" / "freq_debug").glob("freq_*.png"))
+    assert panels, "expected frequency debug panels in freq_debug/"
 
 
 def test_evaluate_end_to_end(colmap_scene, tmp_path):
