@@ -21,7 +21,8 @@ import numpy as np
 
 def cmd_create(args):
     from hidegs_tpu.hier.build import build_hierarchy
-    from hidegs_tpu.hier.io import write_hier
+    from hidegs_tpu.hier.io import write_anchors, write_hier
+    from hidegs_tpu.hier.refine import align_rotations, appearance_filter, compute_anchors
     from hidegs_tpu.utils.ply import load_gaussian_arrays
 
     d = load_gaussian_arrays(args.ply)
@@ -30,6 +31,23 @@ def cmd_create(args):
     opac = 1.0 / (1.0 + np.exp(-d["opacity"]))
     scales = np.exp(d["scaling"])
     h = build_hierarchy(d["xyz"], d["rotation"], scales, opac, shs)
+    if not args.no_align:
+        # reference always sign-aligns rotations after merging
+        # (mainHierarchyCreator.cpp:146-147)
+        h = align_rotations(h)
+    if args.cameras:
+        # per-camera granularity filter + anchors
+        # (mainHierarchyCreator.cpp:150-158)
+        from hidegs_tpu.data.scene import load_scene
+
+        scene = load_scene(args.cameras)
+        cam_pos = np.stack([
+            np.asarray(c.cam_params().camera_center) for c in scene.train_cameras
+        ])
+        h = appearance_filter(h, cam_pos, limit=args.filter_limit)
+        anchors = compute_anchors(h, cam_pos, limit=args.filter_limit)
+        write_anchors(os.path.join(os.path.dirname(args.out) or ".", "anchors.bin"), anchors)
+        print(f"appearance filter: {h.num_nodes} nodes kept, {len(anchors)} anchors")
     write_hier(args.out, h)
     print(f"{args.out}: {h.num_points} gaussians ({n} leaves), {h.num_nodes} nodes")
 
@@ -60,6 +78,12 @@ def main(argv=None):
     c = sub.add_parser("create")
     c.add_argument("--ply", required=True)
     c.add_argument("--out", required=True)
+    c.add_argument("--no_align", action="store_true",
+                   help="skip the parent/child rotation sign alignment")
+    c.add_argument("--cameras", default="",
+                   help="scene source path; enables the per-camera appearance "
+                        "filter and anchors.bin output")
+    c.add_argument("--filter_limit", type=float, default=5e-4)
     c.set_defaults(fn=cmd_create)
     m = sub.add_parser("merge")
     m.add_argument("--chunks", required=True)

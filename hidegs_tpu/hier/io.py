@@ -126,3 +126,20 @@ def _read_hier_compressed(f, P: int) -> Hierarchy:
 
 # node field indices
 DEPTH, PARENT, START, COUNT_LEAFS, COUNT_MERGED, START_CHILDREN, COUNT_CHILDREN = range(7)
+
+
+def write_anchors(path: str, indices: np.ndarray) -> None:
+    """anchors.bin: int32 count then int32 gaussian indices, little-endian
+    (appearance_filter.cpp:417-436 writeAnchors; read back by the reference
+    trainer at scene/gaussian_model.py:366-371)."""
+    idx = np.asarray(indices, dtype="<i4")
+    with open(path, "wb") as f:
+        np.int32(len(idx)).astype("<i4").tofile(f)
+        idx.tofile(f)
+
+
+def read_anchors(path: str) -> np.ndarray:
+    """Read anchors.bin → (K,) int32 gaussian indices."""
+    with open(path, "rb") as f:
+        n = int(np.fromfile(f, "<i4", 1)[0])
+        return np.fromfile(f, "<i4", n)

@@ -95,8 +95,12 @@ def hier_train_step(
     raster_cfg: RasterConfig,
     lambda_dssim: float = 0.2,
     skybox_count: int = 0,
+    frozen: jnp.ndarray | None = None,
 ):
-    """One post-opt step on a fixed LOD cut."""
+    """One post-opt step on a fixed LOD cut. `frozen` (P,) bool excludes
+    gaussians from the sparse update — used for anchors.bin gaussians, which
+    render at full detail from every training view and must keep their
+    chunk-trained appearance (anchors loaded at gaussian_model.py:366-374)."""
     rng, _ = jax.random.split(ts.rng)
     P = ts.params.xyz.shape[0]
 
@@ -118,6 +122,8 @@ def hier_train_step(
     visible = visible.at[cut.parent_indices].set(cut.valid, mode="drop")
     if skybox_count:
         visible = visible.at[P - skybox_count :].set(True)
+    if frozen is not None:
+        visible = visible & ~frozen
 
     new_params, new_opt = masked_adam_update(ts.params, grads, ts.opt, lr_cfg_tree, visible)
     return (
@@ -137,11 +143,16 @@ def post_optimize(
     lr_cfg: Optional[LRConfig] = None,
     skybox_count: int = 0,
     log_every: int = 100,
+    anchors=None,
 ) -> HierTrainState:
-    """Host loop: post-optimize `h` against (cameras[i], images[i]) pairs."""
+    """Host loop: post-optimize `h` against (cameras[i], images[i]) pairs.
+    `anchors` (int32 indices from io.read_anchors) are frozen throughout."""
     import random as _random
 
     ts = state_from_hierarchy(h)
+    frozen = None
+    if anchors is not None and len(anchors):
+        frozen = jnp.zeros((h.num_points,), bool).at[jnp.asarray(anchors)].set(True)
     budget = budget or 1 << int(np.ceil(np.log2(max(h.num_points, 1024))))
     raster_cfg = raster_cfg or RasterConfig(backend="jnp", max_instances=1 << 18)
     lr_cfg = lr_cfg or LRConfig()
@@ -152,7 +163,7 @@ def post_optimize(
         lrs = lr_tree(ts.step, lr_cfg, jnp.float32(1.0))
         ts, m = hier_train_step(
             ts, cut, cameras[i], jnp.asarray(images[i]), lrs, raster_cfg,
-            skybox_count=skybox_count,
+            skybox_count=skybox_count, frozen=frozen,
         )
         if it % log_every == 0:
             print(f"[hier {it}/{iterations}] loss={float(m['loss']):.4f} "

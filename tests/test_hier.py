@@ -224,3 +224,124 @@ def test_expand_to_target_cpu():
     root_depth = int(h.nodes[0, 0])
     idx2 = expand_to_target(h.nodes, target=root_depth - 1)
     assert 0 < len(idx2) <= 16
+
+
+# ---------------------------------------------------------------------------
+# refinement passes (rotation aligner / appearance filter / anchors)
+
+
+def _covariances(h: hio.Hierarchy):
+    from hidegs_tpu.core.transforms import build_covariance_3d
+
+    return np.asarray(
+        build_covariance_3d(jnp.exp(jnp.asarray(h.scale)), jnp.asarray(h.rot))
+    )
+
+
+def test_align_rotations_preserves_covariance_and_improves_match():
+    from hidegs_tpu.hier.refine import (
+        _merged_index,
+        _quat_to_rotmat_np,
+        align_rotations,
+    )
+
+    pos, rot, scale, alpha, shs = toy_leaves(48, seed=3)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    cov_before = _covariances(h)
+    ha = align_rotations(h)
+    cov_after = _covariances(ha)
+    # alignment only permutes axes/signs: represented covariance unchanged
+    assert np.allclose(cov_before, cov_after, atol=1e-4)
+    # frobenius agreement with the parent's merged rotation does not decrease
+    nodes = h.nodes
+    merged = _merged_index(nodes)
+    pairs = [
+        (g, merged[nodes[n, hio.PARENT]])
+        for n in range(len(nodes))
+        if nodes[n, hio.PARENT] >= 0 and merged[nodes[n, hio.PARENT]] >= 0
+        for g in range(
+            nodes[n, hio.START],
+            nodes[n, hio.START] + nodes[n, hio.COUNT_LEAFS] + nodes[n, hio.COUNT_MERGED],
+        )
+    ]
+    gi = np.array([p[0] for p in pairs])
+    ri = np.array([p[1] for p in pairs])
+
+    def score(hh):
+        Rg = _quat_to_rotmat_np(hh.rot[gi])
+        Rr = _quat_to_rotmat_np(hh.rot[ri])
+        return np.einsum("kij,kij->k", Rg, Rr)
+
+    assert (score(ha) >= score(h) - 1e-5).all()
+    assert score(ha).sum() > score(h).sum()  # at least some gaussian improved
+
+
+def test_appearance_filter_collapses_far_detail():
+    from hidegs_tpu.hier.lod import expand_to_size
+    from hidegs_tpu.hier.refine import appearance_filter
+
+    pos, rot, scale, alpha, shs = toy_leaves(64, seed=5)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    # cameras at moderate distance: upper levels are resolvable, leaf-level
+    # detail is finer than any camera can project above the limit
+    cams = np.array([[0.0, 0.0, 10.0], [10.0, 0.0, 0.0]], np.float32)
+    hf = appearance_filter(h, cams, limit=0.05)
+    assert hf.num_nodes < h.num_nodes
+    assert hf.num_points < h.num_points
+    # structure stays consistent: parent pointers and child ranges agree
+    nodes = hf.nodes
+    for i in range(len(nodes)):
+        sc, cc = nodes[i, hio.START_CHILDREN], nodes[i, hio.COUNT_CHILDREN]
+        for c in range(cc):
+            assert nodes[sc + c, hio.PARENT] == i
+    # gaussian ranges tile [0, P)
+    counts = nodes[:, hio.COUNT_LEAFS] + nodes[:, hio.COUNT_MERGED]
+    covered = np.zeros(hf.num_points, bool)
+    for i in range(len(nodes)):
+        s, c = nodes[i, hio.START], counts[i]
+        assert not covered[s : s + c].any()
+        covered[s : s + c] = True
+    assert covered.all()
+    # the collapsed hierarchy still produces a valid LOD cut
+    cut = expand_to_size(
+        jnp.asarray(nodes), jnp.asarray(hf.boxes), 0.01,
+        jnp.asarray(np.array([0.0, 0.0, -4.0], np.float32)), budget=256,
+    )
+    assert int(cut.valid.sum()) > 0
+
+
+def test_appearance_filter_near_cameras_keeps_everything():
+    from hidegs_tpu.hier.refine import appearance_filter
+
+    pos, rot, scale, alpha, shs = toy_leaves(32, seed=7)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    # a camera right next to the scene resolves every node
+    cams = pos[:1] + np.array([[0.0, 0.0, 0.05]], np.float32)
+    hf = appearance_filter(h, cams, limit=5e-4)
+    assert hf.num_points == h.num_points
+    assert hf.num_nodes == h.num_nodes
+
+
+def test_anchors_roundtrip_and_freeze(tmp_path):
+    from hidegs_tpu.hier.refine import compute_anchors
+
+    pos, rot, scale, alpha, shs = toy_leaves(32, seed=9)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    cams = pos[:2] + np.array([[0.0, 0.0, 0.05]], np.float32)
+    anchors = compute_anchors(h, cams, limit=5e-4)
+    assert len(anchors) > 0
+    p = str(tmp_path / "anchors.bin")
+    hio.write_anchors(p, anchors)
+    back = hio.read_anchors(p)
+    assert np.array_equal(anchors, back)
+    # frozen gaussians don't move during post-opt
+    from hidegs_tpu.train.hier_trainer import post_optimize
+
+    cam = ring_camera(0.0, height=32, width=32, radius=4.0)
+    img = np.zeros((3, 32, 32), np.float32)
+    ts = post_optimize(
+        h, [cam], [img], iterations=3, target_size=0.01, budget=128,
+        anchors=anchors, log_every=100,
+    )
+    moved = np.abs(np.asarray(ts.params.xyz) - h.pos).max(axis=1)
+    assert (moved[anchors] == 0).all()

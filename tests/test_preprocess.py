@@ -213,3 +213,94 @@ def test_mask_utilities(tmp_path):
     assert n == 1
     out = np.asarray(Image.open(tmp_path / "masks" / "a.png"))
     assert (out[:2] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Procrustes chunk re-alignment (transform_colmap equivalent)
+
+
+def _make_colmap_model(root, R_list, t_list, pts, rgb):
+    import os
+
+    from hidegs_tpu.data import colmap
+    from hidegs_tpu.hier.refine import _rotmat_to_quat_np
+
+    sparse = os.path.join(root, "sparse/0")
+    os.makedirs(sparse, exist_ok=True)
+    cams = {1: colmap.ColmapCamera(1, "PINHOLE", 64, 64, np.array([60.0, 60.0, 32.0, 32.0]))}
+    imgs = {}
+    for i, (R, t) in enumerate(zip(R_list, t_list)):
+        q = _rotmat_to_quat_np(R[None])[0]
+        imgs[i + 1] = colmap.ColmapImage(
+            i + 1, q.astype(np.float64), np.asarray(t, np.float64), 1,
+            f"im_{i:03d}.png", np.zeros((0, 2)), np.zeros((0,), np.int64),
+        )
+    colmap.write_cameras_binary(cams, os.path.join(sparse, "cameras.bin"))
+    colmap.write_images_binary(imgs, os.path.join(sparse, "images.bin"))
+    colmap.write_points3d_binary(pts, rgb, os.path.join(sparse, "points3D.bin"))
+
+
+def test_procrustes_recovers_sim3():
+    from hidegs_tpu.preprocess.align import apply_sim3, procrustes
+
+    rng = np.random.RandomState(0)
+    X0 = rng.randn(50, 3)
+    # random rotation via QR
+    Q, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    X1 = (X0 @ Q.T) * 2.5 + np.array([3.0, -1.0, 0.5])
+    sim3 = procrustes(X0, X1)
+    assert np.allclose(apply_sim3(sim3, X1), X0, atol=1e-6)
+
+
+def test_align_chunk_end_to_end(tmp_path):
+    from hidegs_tpu.data import colmap
+    from hidegs_tpu.preprocess.align import align_chunk
+
+    rng = np.random.RandomState(3)
+    n_cams = 10
+    # original (global-frame) chunk model
+    centers = rng.randn(n_cams, 3) * 2.0
+    R_list = []
+    for _ in range(n_cams):
+        Q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        R_list.append(Q)
+    t_list = [-R @ c for R, c in zip(R_list, centers)]
+    pts = rng.randn(40, 3)
+    rgb = rng.randint(0, 255, (40, 3)).astype(np.uint8)
+
+    in_dir = str(tmp_path / "orig")
+    _make_colmap_model(in_dir, R_list, t_list, pts, rgb)
+    with open(tmp_path / "orig" / "center.txt", "w") as f:
+        f.write("0 0 0\n")
+    with open(tmp_path / "orig" / "extent.txt", "w") as f:
+        f.write("100 100 100\n")
+
+    # refined model: same cameras/points expressed in a drifted sim3 frame
+    Qd, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(Qd) < 0:
+        Qd[:, 0] *= -1
+    s_d, t_d = 1.7, np.array([5.0, 2.0, -3.0])
+    centers_new = centers @ Qd.T * s_d + t_d
+    pts_new = pts @ Qd.T * s_d + t_d
+    R_new = [R @ Qd.T for R in R_list]
+    t_new = [-R @ c for R, c in zip(R_new, centers_new)]
+
+    new_dir = str(tmp_path / "refined")
+    _make_colmap_model(new_dir, R_new, t_new, pts_new, rgb)
+
+    out_dir = str(tmp_path / "aligned")
+    info = align_chunk(in_dir, new_dir, out_dir)
+    assert info["n_cams"] == n_cams
+    assert info["n_points"] == 40
+
+    out_imgs = colmap.read_images_binary(out_dir + "/sparse/0/images.bin")
+    for i, c_true in enumerate(centers):
+        im = out_imgs[i + 1]
+        c = -colmap.qvec_to_rotmat(im.qvec).T @ im.tvec
+        assert np.allclose(c, c_true, atol=1e-4), (i, c, c_true)
+    xyz, _, _, _ = colmap.read_points3d_binary(out_dir + "/sparse/0/points3D.bin")
+    assert np.allclose(xyz, pts, atol=1e-4)
