@@ -99,3 +99,49 @@ def load_scene(
         test_cameras=CameraDataset(info.test_cameras, resolution, cache_all=cache_all),
         neighbors=graph,
     )
+
+
+def camera_to_json(idx: int, info) -> dict:
+    """Viewer camera entry (utils/camera_utils.py:98-118 camera_to_JSON):
+    camera-to-world rotation + world position, focals in pixels."""
+    c2w_rot = np.asarray(info.R).T
+    pos = -c2w_rot @ np.asarray(info.t)
+    return {
+        "id": idx,
+        "img_name": info.image_name,
+        "width": int(info.width),
+        "height": int(info.height),
+        "position": pos.tolist(),
+        "rotation": [row.tolist() for row in c2w_rot],
+        "fy": float(info.fy),
+        "fx": float(info.fx),
+    }
+
+
+def save_scene_artifacts(scene: Scene, model_path: str) -> None:
+    """Write the viewer-facing scene artifacts next to the checkpoints:
+    cameras.json (all test+train cameras) and input.ply (the initialization
+    point cloud) — Scene.__init__'s first-run dumps (scene/__init__.py:53-65),
+    which the SIBR viewer reads to seed its camera paths."""
+    import os
+
+    from hidegs_tpu.utils.ply import write_ply
+
+    cams = []
+    idx = 0
+    for ds in (scene.test_cameras, scene.train_cameras):
+        for info in getattr(ds, "infos", []):
+            cams.append(camera_to_json(idx, info))
+            idx += 1
+    with open(os.path.join(model_path, "cameras.json"), "w") as f:
+        json.dump(cams, f)
+
+    pts = np.asarray(scene.info.points, np.float32)
+    col = (np.clip(np.asarray(scene.info.colors), 0, 1) * 255).astype(np.uint8)
+    write_ply(
+        os.path.join(model_path, "input.ply"),
+        {
+            "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+            "red": col[:, 0], "green": col[:, 1], "blue": col[:, 2],
+        },
+    )

@@ -250,6 +250,9 @@ def train(
     if model_cfg.model_path:
         save_cfg_args(model_cfg.model_path, model_cfg, pipe_cfg, opt_cfg)
         scene.save_multi_view_json(os.path.join(model_cfg.model_path, "multi_view.json"))
+        from hidegs_tpu.data.scene import save_scene_artifacts
+
+        save_scene_artifacts(scene, model_cfg.model_path)
 
     rng = random.Random(seed)
     order = []

@@ -88,6 +88,11 @@ def test_trainer_end_to_end(colmap_scene, tmp_path):
     assert (ckpt / "state.npz").exists()
     assert (tmp_path / "model" / "cfg_args.json").exists()
     assert (tmp_path / "model" / "multi_view.json").exists()
+    # viewer-facing artifacts (scene/__init__.py:53-65 first-run dumps)
+    cams_json = json.load(open(tmp_path / "model" / "cameras.json"))
+    assert len(cams_json) == N_VIEWS
+    assert {"img_name", "position", "rotation", "fx", "fy"} <= set(cams_json[0])
+    assert (tmp_path / "model" / "input.ply").exists()
     # skybox survived protected
     assert bool(ts.gaussians.protected.sum() == 8)
     # frequency debug panel dumped at the configured cadence
