@@ -1,9 +1,8 @@
 """Per-stage timing of the fwd+bwd rasterization pipeline on the live device.
 
 Times each pipeline stage as its own jitted function (steady-state, compile
-excluded) to locate the glue costs around the Pallas kernels. Used to drive
-the round-2 backward-glue optimization (docs/BENCHMARKS.md "Known remaining
-hot spots").
+excluded) to locate the glue costs around the Pallas kernels. Drove the
+kernel-side-windowing redesign (docs/BENCHMARKS.md).
 """
 from __future__ import annotations
 
@@ -18,9 +17,11 @@ from hidegs_tpu.raster.api import RasterConfig, render
 from hidegs_tpu.raster.pallas_blend import (
     CHUNK,
     blend_tiles_pallas_fwd,
-    pack_instance_attrs,
+    expand_to_instances,
+    pack_gaussian_matrix,
+    window_tables,
 )
-from hidegs_tpu.raster.pallas_vjp import blend_core, blend_tiles_pallas_bwd
+from hidegs_tpu.raster.pallas_vjp import blend_packed, blend_tiles_pallas_bwd
 from hidegs_tpu.raster.preprocess import preprocess_gaussians
 
 N = 10_000
@@ -50,58 +51,46 @@ def main():
 
     tiles_y, tiles_x = B.tile_grid(H, W)
     num_tiles = tiles_y * tiles_x
+    num_blocks = (MAXI + num_tiles * CHUNK) // CHUNK
 
-    # ---- stage functions (each jitted on its own)
     pre_fn = jax.jit(
         lambda m, s, q, o, c: preprocess_gaussians(m, s, q, o, c, cam)
     )
-    bin_fn = jax.jit(
-        lambda pre: B.bin_gaussians(pre, tiles_y, tiles_x, MAXI)
+    bin_fn = jax.jit(lambda pre: B.bin_gaussians(pre, tiles_y, tiles_x, MAXI))
+    tables_fn = jax.jit(
+        lambda tb: window_tables(tb.tile_start, tb.tile_count, num_blocks, MAXI)
     )
-    align_fn = jax.jit(
-        lambda tb: B.align_binning(
-            tb, N, num_tiles, CHUNK, MAXI + num_tiles * CHUNK
-        )
-    )
-    pack_fn = jax.jit(
-        lambda pre, ab: pack_instance_attrs(pre, ab.gauss_id, ab.gauss_id < N)
-    )
+    pack_fn = jax.jit(pack_gaussian_matrix)
+    expand_fn = jax.jit(expand_to_instances)
     fwd_fn = jax.jit(
-        lambda attrs, ab: blend_tiles_pallas_fwd(
-            attrs, ab.tile_start, ab.tile_count, tiles_y, tiles_x, 16
+        lambda attrs, tables: blend_tiles_pallas_fwd(
+            attrs, tables, tiles_y, tiles_x, 16, num_blocks, N
         )
     )
 
     pre = timeit("preprocess fwd", pre_fn, means3d, scales, quats, opacities, shs)
     tb = timeit("binning (expand+sort+ranges)", bin_fn, pre)
-    ab = timeit("align (chunk layout)", align_fn, tb)
-    attrs = timeit("pack (attr gather)", pack_fn, pre, ab)
-    tile_out = timeit("blend fwd kernel", fwd_fn, attrs, ab)
+    tables = timeit("window tables", tables_fn, tb)
+    packed = timeit("pack gaussian matrix (N rows)", pack_fn, pre)
+    attrs = timeit("expand to instances (row gather)", expand_fn, packed, tb.gauss_id)
+    tile_out = timeit("blend fwd kernel (windowed DMA)", fwd_fn, attrs, tables)
 
-    # backward kernel alone (synthetic cotangents)
     g_tiles = jnp.ones_like(tile_out[0])
     gt = jnp.ones_like(tile_out[0])
     bwd_fn = jax.jit(
-        lambda attrs, ab, g, gt: blend_tiles_pallas_bwd(
-            attrs, ab.tile_start, ab.tile_count, g, gt, tiles_y, tiles_x, 16
+        lambda attrs, tables, g, gt: blend_tiles_pallas_bwd(
+            attrs, tables, g, gt, tiles_y, tiles_x, 16, num_blocks, N
         )
     )
-    d_attrs = timeit("blend bwd kernel", bwd_fn, attrs, ab, g_tiles, gt)
+    d_inst = timeit("blend bwd kernel (windowed DMA)", bwd_fn, attrs, tables, g_tiles, gt)
 
-    # pack VJP (the instance->gaussian gradient scatter)
-    def pack_fwd(pre):
-        return pack_instance_attrs(pre, ab.gauss_id, ab.gauss_id < N)
+    seg_fn = jax.jit(
+        lambda d: jax.ops.segment_sum(
+            d[:14].T, d[14].astype(jnp.int32), num_segments=N + 1
+        )
+    )
+    timeit("instance->gaussian segment sum", seg_fn, d_inst)
 
-    d_attrs_ct = jnp.ones_like(attrs)
-
-    @jax.jit
-    def pack_vjp(pre, ct):
-        _, f_vjp = jax.vjp(pack_fwd, pre)
-        return f_vjp(ct)
-
-    timeit("pack VJP (scatter to gaussians)", pack_vjp, pre, d_attrs_ct)
-
-    # preprocess VJP alone
     def pre_loss(m, s, q, o, c):
         p = preprocess_gaussians(m, s, q, o, c, cam)
         return (
@@ -113,21 +102,20 @@ def main():
     pre_vjp = jax.jit(jax.grad(pre_loss, argnums=(0, 1, 2, 3, 4)))
     timeit("preprocess VJP", pre_vjp, means3d, scales, quats, opacities, shs)
 
-    # blend core fwd+bwd through custom vjp
-    def core_loss(attrs, ab):
-        out, _ = blend_core(attrs, ab.tile_start, ab.tile_count, tiles_y, tiles_x, 16)
+    def core_loss(packed, tb):
+        out, _ = blend_packed(
+            packed, tb.gauss_id, tb.tile_start, tb.tile_count, tiles_y, tiles_x, 16
+        )
         return jnp.sum(out)
 
     core_vjp = jax.jit(jax.grad(core_loss))
-    timeit("blend core fwd+bwd (custom vjp)", core_vjp, attrs, ab)
+    timeit("blend_packed fwd+bwd (custom vjp)", core_vjp, packed, tb)
 
-    # full render forward
     rend_fn = jax.jit(
         lambda m, s, q, o, c: render(m, s, q, o, c, cam, config=cfg)["render"]
     )
     timeit("full render fwd", rend_fn, means3d, scales, quats, opacities, shs)
 
-    # full fwd+bwd (the bench workload)
     def loss_fn(m, s, q, o, c):
         out = render(m, s, q, o, c, cam, config=cfg)
         return jnp.mean(jnp.abs(out["render"] - target))

@@ -31,18 +31,6 @@ from hidegs_tpu.raster.preprocess import PreprocessedGaussians
 TILE = 16  # pixels per tile side (config.h:16-17 BLOCK_X/BLOCK_Y)
 
 
-class AlignedBinning(NamedTuple):
-    """Chunk-aligned instance layout for the Pallas kernels: every tile's
-    span starts at a multiple of `chunk` (padding slots carry gauss_id = N),
-    so per-tile DMA loads are aligned and per-tile backward gradient stores
-    are disjoint at chunk granularity."""
-
-    gauss_id: jnp.ndarray  # (I_aligned,) int32 (N = padding)
-    tile_start: jnp.ndarray  # (num_tiles,) int32, multiples of chunk
-    tile_count: jnp.ndarray  # (num_tiles,) int32 REAL instance counts
-    src_slot: jnp.ndarray  # (I,) int32: original sorted instance → aligned slot
-
-
 class TileBinning(NamedTuple):
     gauss_id: jnp.ndarray  # (I,) int32 instance → gaussian index (N = invalid)
     tile_id: jnp.ndarray  # (I,) int32 instance → tile (num_tiles = invalid sentinel)
@@ -172,59 +160,8 @@ def bin_gaussians(
     )
 
 
-@partial(jax.jit, static_argnames=("num_tiles", "chunk", "aligned_size"))
-def align_binning(
-    tb: TileBinning, n_gaussians: int, num_tiles: int, chunk: int, aligned_size: int
-) -> AlignedBinning:
-    """Re-layout the sorted instance list so each tile's span is chunk-aligned.
-
-    `aligned_size` must be ≥ I + num_tiles*chunk (static); padding slots get
-    gauss_id = n_gaussians (rendered with α=0 by the kernels).
-
-    Performance note: TPU gathers with per-element indices are slow, so all
-    per-slot quantities are derived at BLOCK granularity (aligned spans are
-    chunk-multiples, so every chunk block belongs to one tile) and expanded
-    with free broadcasts — leaving exactly one big gather (the gauss ids).
-    """
-    assert aligned_size % chunk == 0
-    I = tb.gauss_id.shape[0]
-    num_blocks = aligned_size // chunk
-    padded = ((tb.tile_count + chunk - 1) // chunk) * chunk  # (T,)
-    astart = jnp.cumsum(padded) - padded  # exclusive cumsum, multiples of chunk
-
-    # per-block tables (num_blocks is ~1000x smaller than aligned_size)
-    bstart = jnp.arange(num_blocks, dtype=jnp.int32) * chunk
-    t_of_b = jnp.searchsorted(astart, bstart, side="right").astype(jnp.int32) - 1
-    t_of_b = jnp.clip(t_of_b, 0, num_tiles - 1)
-    astart_b = astart[t_of_b]  # (B,) small gathers
-    count_b = tb.tile_count[t_of_b]
-    tstart_b = tb.tile_start[t_of_b]
-
-    # expand to slots with broadcasts (no gathers)
-    lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    local = (bstart[:, None] - astart_b[:, None]) + lane  # (B, chunk)
-    valid = (local < count_b[:, None]).reshape(-1)
-    # each block's sources are CONTIGUOUS in the sorted list, so read them as
-    # batched 1-chunk windows (contiguous 512B moves) instead of a random
-    # per-element gather; a sentinel pad keeps tail windows in bounds without
-    # shifting (a shifted window would misalign lanes against `valid`)
-    gid_pad = jnp.concatenate(
-        [tb.gauss_id, jnp.full((chunk,), n_gaussians, tb.gauss_id.dtype)]
-    )
-    win_start = jnp.clip(tstart_b + (bstart - astart_b), 0, I)
-    windows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(gid_pad, (s,), (chunk,))
-    )(win_start)  # (B, chunk)
-    gid = jnp.where(valid, windows.reshape(-1), n_gaussians)
-
-    # original sorted instance → aligned slot (for mapping gradients back)
-    tid_cl = jnp.minimum(tb.tile_id, num_tiles - 1)
-    src_slot = astart[tid_cl] + (jnp.arange(I, dtype=jnp.int32) - tb.tile_start[tid_cl])
-    src_slot = jnp.where(tb.tile_id < num_tiles, src_slot, aligned_size - 1)
-
-    return AlignedBinning(
-        gauss_id=gid,
-        tile_start=astart.astype(jnp.int32),
-        tile_count=tb.tile_count,
-        src_slot=src_slot.astype(jnp.int32),
-    )
+# NOTE: the former align_binning() HBM re-layout (sorted → chunk-aligned
+# instance stream) is gone: the Pallas kernels now DMA each block's window
+# straight out of the sorted stream (pallas_blend.window_tables +
+# _start_input_pipeline), which removed a ~9.5 ms gather + round-trip on the
+# BASELINE workload.

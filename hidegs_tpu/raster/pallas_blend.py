@@ -3,36 +3,43 @@
 Replaces the per-pixel sequential front-to-back loop of the reference's
 renderCUDA (forward.cu:440-610) with a TPU-shaped formulation.
 
-Design (v2, block-pipelined): a TPU Pallas grid is a *sequential* loop on the
-TensorCore, so per-tile programs with manual DMA pay fixed overhead per tile
-(~88 instances/tile in the BASELINE workload ⇒ overhead-bound). Instead the
-grid runs over 128-instance *blocks* of the chunk-aligned instance stream:
+Design (v3, kernel-side windowing): a TPU Pallas grid is a *sequential* loop
+on the TensorCore. The grid runs over 128-instance *blocks* of the virtual
+chunk-aligned instance stream (every tile's span padded up to a CHUNK
+multiple), but the attribute array itself stays in depth-sorted order — the
+kernel DMAs each block's window [win_start[b], win_start[b]+CHUNK) straight
+out of HBM with double buffering. v2 materialized the aligned stream in HBM
+first (gather + 37 MB round-trip, ~9.5 ms on the BASELINE workload); the
+manual window DMA makes that re-layout free.
 
-  * instance attribute blocks (ATTR, CHUNK) are streamed by the Pallas
-    pipeline itself (automatic double buffering; index map b → block b);
-  * each block's owning tile comes from scalar-prefetched tables; the output
-    block index is that tile, so consecutive blocks of one tile *revisit* the
-    same VMEM output buffer and accumulate in place (the canonical Pallas
-    reduction pattern); the buffer flushes to HBM when the tile changes;
+  * per-block scalar-prefetched tables give the owning tile, the first-block
+    flag, the valid-lane count, and the sorted-layout window start;
+  * the output block index is the owning tile, so consecutive blocks of one
+    tile *revisit* the same VMEM output buffer and accumulate in place (the
+    canonical Pallas reduction pattern), flushing when the tile changes;
   * within a block the compositing recurrence is matmuls on the MXU:
        cum_excl = log(1-α) @ TRIU_strict      (prefix over instance lanes)
        out     += (T·α·mask) @ channelsᵀ
     with per-pixel transmittance carried across blocks in VMEM scratch;
   * blocks whose tile is already opaque (max T < 1e-4) skip their compute —
-    the block-granular version of forward.cu:508-510's termination vote.
+    the block-granular version of forward.cu:508-510's termination vote;
+  * attribute channel 14 carries the owning gaussian id (exact in f32 below
+    2^24); the kernels pass it through to their outputs so the XLA-side
+    instance→gaussian segment-sum needs no separately materialized id
+    stream (deterministic replacement for backward.cu's atomicAdd scatter).
 
 All math is PIXEL-major (P=256 rows, instance lanes). Attributes are stored
-transposed (ATTR, I) so every pipeline slice is 128-lane aligned, with chunk-
-aligned per-tile spans (see binning.align_binning).
+transposed (ATTR, I) so every window slice is a contiguous lane run.
 
 Packed attribute rows (ATTR=16): [0:2] mean2d [2:5] conic [5:8] rgb
-[8] opacity [9] invdepth [10:13] normal [13] distance [14:16] pad.
-Output planes per tile (P, OUT_CH=16): [0:3] rgb [3] invdepth [4:7] normal
-[7] distance [8] acc_alpha [9] T_final [10:16] pad.
+[8] opacity [9] invdepth [10:13] normal [13] distance [14] gaussian id
+[15] pad. Output planes per tile (P, OUT_CH=16): [0:3] rgb [3] invdepth
+[4:7] normal [7] distance [8] acc_alpha [9] T_final [10:16] pad.
 """
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,23 +54,32 @@ import os as _os
 CHUNK = int(_os.environ.get("HIDEGS_CHUNK", "128"))
 assert CHUNK % 128 == 0
 ATTR = 16  # packed attribute channels
+GID_CH = 14  # attribute row carrying the gaussian id (as exact float32)
 OUT_CH = 16  # packed output channels
 T_EPS = 1e-4
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
+MAX_EXACT_ID = 1 << 24  # float32 holds integer ids exactly below this
 
 
-def pack_instance_attrs(pre, gid, valid):
-    """Gather per-gaussian attrs into instance order, packed (ATTR, I).
+class WindowTables(NamedTuple):
+    """Per-block scalar tables for the virtual chunk-aligned stream."""
 
-    Packs per-GAUSSIAN attributes into one (N+1, ATTR) matrix first (cheap,
-    N-sized elementwise), then expands to instances with ONE row gather —
-    row gathers move contiguous 64-byte rows, which the TPU does well, unlike
-    the 14 per-element gathers this used to be. The sentinel row N is zero,
-    so invalid slots read zeros (α=0 → no contribution, and no backward junk
-    via the gather transpose).
+    tile_of: jnp.ndarray  # (B,) int32 owning tile per block
+    first: jnp.ndarray  # (B,) int32 — 1 ⇔ first block of its tile
+    nvalid: jnp.ndarray  # (B,) int32 valid instances in block
+    win_start: jnp.ndarray  # (B,) int32 sorted-layout window start
+
+
+def pack_gaussian_matrix(pre) -> jnp.ndarray:
+    """Per-GAUSSIAN attributes as one (N+1, ATTR) matrix (differentiable).
+
+    Row N is the zero sentinel (α=0 → no contribution); channel GID_CH holds
+    the row's own index so instance expansion carries ids for free.
     """
     N = pre.mean2d.shape[0]
+    assert N < MAX_EXACT_ID, "gaussian ids above 2^24 lose float32 exactness"
+    ids = jnp.arange(N + 1, dtype=jnp.float32)[:, None]
     packed = jnp.concatenate(
         [
             pre.mean2d,  # 2
@@ -73,27 +89,50 @@ def pack_instance_attrs(pre, gid, valid):
             pre.inv_depth[:, None],  # 1
             pre.normal,  # 3
             pre.distance[:, None],  # 1
-            jnp.zeros((N, ATTR - 14), jnp.float32),
         ],
         axis=-1,
-    )  # (N, ATTR)
-    packed = jnp.concatenate([packed, jnp.zeros((1, ATTR), jnp.float32)], axis=0)
-    g = jnp.where(valid, jnp.minimum(gid, N - 1), N)
-    return packed[g].T  # (ATTR, I)
+    )  # (N, 14)
+    packed = jnp.concatenate([packed, jnp.zeros((1, 14), jnp.float32)], axis=0)
+    return jnp.concatenate(
+        [packed, ids, jnp.zeros((N + 1, ATTR - 15), jnp.float32)], axis=-1
+    )  # (N+1, ATTR)
 
 
-def block_tables(tile_start: jnp.ndarray, tile_count: jnp.ndarray, num_blocks: int):
-    """Per-block scalar tables from chunk-aligned tile spans.
+def expand_to_instances(packed: jnp.ndarray, gid: jnp.ndarray) -> jnp.ndarray:
+    """(N+1, ATTR) gaussian rows → (ATTR, I + 2*CHUNK) sorted instance stream.
 
-    Returns (tile_of (B,), first (B,) int32 0/1, nvalid (B,) int32)."""
+    One contiguous row gather (the TPU-friendly move), transposed to
+    lane-major, padded with one spare chunk so every kernel window is in
+    bounds. Invalid instances (gid ≥ N) read the zero sentinel row.
+    """
+    N = packed.shape[0] - 1
+    g = jnp.minimum(gid, N)
+    attrs = packed[g].T  # (ATTR, I)
+    # 2·CHUNK slack: the kernel's aligned fetches cover [base, base+2·CHUNK)
+    # with base ≤ I rounded down to a CHUNK multiple
+    return jnp.pad(attrs, ((0, 0), (0, 2 * CHUNK)))
+
+
+def window_tables(
+    tile_start: jnp.ndarray,  # (T,) sorted-layout tile span starts
+    tile_count: jnp.ndarray,  # (T,) instances per tile
+    num_blocks: int,
+    n_instances: int,
+) -> WindowTables:
+    """Block tables mapping the virtual aligned stream onto sorted windows."""
     T = tile_start.shape[0]
-    starts = jnp.arange(num_blocks, dtype=jnp.int32) * CHUNK
-    t_of = jnp.searchsorted(tile_start, starts, side="right").astype(jnp.int32) - 1
+    padded = ((tile_count + CHUNK - 1) // CHUNK) * CHUNK
+    astart = jnp.cumsum(padded) - padded  # aligned span starts (multiples of CHUNK)
+    bstart = jnp.arange(num_blocks, dtype=jnp.int32) * CHUNK
+    t_of = jnp.searchsorted(astart, bstart, side="right").astype(jnp.int32) - 1
     t_of = jnp.clip(t_of, 0, T - 1)
-    local = starts - tile_start[t_of]
+    local = bstart - astart[t_of]
     nvalid = jnp.clip(tile_count[t_of] - local, 0, CHUNK)
     first = (local == 0).astype(jnp.int32)
-    return t_of, first, nvalid.astype(jnp.int32)
+    win_start = jnp.clip(tile_start[t_of] + local, 0, n_instances)
+    return WindowTables(
+        t_of, first, nvalid.astype(jnp.int32), win_start.astype(jnp.int32)
+    )
 
 
 def _block_geometry(a, nvalid, pix_x, pix_y):
@@ -153,23 +192,73 @@ def _triu(strict: bool):
     return ((row < col) if strict else (row <= col)).astype(jnp.float32)
 
 
+def _window_dma(attrs_ref, buf, sem, win_start_ref, slot, idx):
+    """Async HBM→VMEM copy of the aligned 2-chunk window covering instance
+    window idx into buffer `slot`.
+
+    HBM memrefs are (8,128)-tiled, so DMA slices must be 128-lane aligned:
+    fetch lanes [base, base+2·CHUNK) with base = ⌊win_start/CHUNK⌋·CHUNK and
+    rotate the unaligned window out in VMEM (`_extract_window`)."""
+    base = pl.multiple_of(
+        (win_start_ref[idx] // CHUNK) * CHUNK, CHUNK
+    )
+    return pltpu.make_async_copy(
+        attrs_ref.at[:, pl.ds(base, 2 * CHUNK)],
+        buf.at[slot],
+        sem.at[slot],
+    )
+
+
+def _extract_window(buf2, off):
+    """(ATTR, 2·CHUNK) aligned fetch → (ATTR, CHUNK) window at lane `off`.
+
+    roll(x, 2C−off)[j] = x[j+off] for j+off < 2C, so the first CHUNK lanes of
+    the rotation are exactly the window."""
+    rolled = pltpu.roll(buf2, (2 * CHUNK - off) % (2 * CHUNK), axis=1)
+    return rolled[:, :CHUNK]
+
+
+def _start_input_pipeline(attrs_ref, buf, sem, win_start_ref):
+    """Double-buffered window fetch: start b+1's DMA, wait for b's, return
+    the current block's (ATTR, CHUNK) attributes."""
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    @pl.when(b == 0)
+    def _():
+        _window_dma(attrs_ref, buf, sem, win_start_ref, 0, 0).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        _window_dma(attrs_ref, buf, sem, win_start_ref, (b + 1) % 2, b + 1).start()
+
+    _window_dma(attrs_ref, buf, sem, win_start_ref, b % 2, b).wait()
+    return _extract_window(buf[b % 2], win_start_ref[b] % CHUNK)
+
+
 def _forward_kernel(
     tile_of_ref,  # (B,) scalar prefetch: owning tile per block
     first_ref,  # (B,) 1 ⇔ first block of its tile
     nvalid_ref,  # (B,) valid instances in block
-    attr_ref,  # (ATTR, CHUNK) VMEM — pipelined block
+    win_start_ref,  # (B,) sorted-layout window starts
+    attrs_ref,  # (ATTR, I+2*CHUNK) — stays in HBM; windows DMA'd manually
     out_ref,  # (1, P, OUT_CH) VMEM — revisited accumulator for the tile
-    obs_ref,  # (1, CHUNK) VMEM — per-instance observe counts for this block
+    obs_ref,  # (2, CHUNK) VMEM — [counts; gaussian ids] for this block
     T_carry,  # (P, 1) VMEM scratch — transmittance across blocks of a tile
+    attr_buf,  # (2, ATTR, CHUNK) VMEM scratch — double-buffered windows
+    in_sem,  # DMA semaphores (2,)
     *,
     tile: int,
     tiles_x: int,
+    sentinel: float,
 ):
     b = pl.program_id(0)
     P = tile * tile
     t = tile_of_ref[b]
     nvalid = nvalid_ref[b]
     is_first = first_ref[b] == 1
+
+    a = _start_input_pipeline(attrs_ref, attr_buf, in_sem, win_start_ref)
 
     @pl.when(is_first)
     def _():
@@ -180,12 +269,12 @@ def _forward_kernel(
 
     @pl.when(jnp.logical_not(live_tile))
     def _():
-        obs_ref[:] = jnp.zeros((1, CHUNK), jnp.float32)
+        obs_ref[0:1, :] = jnp.zeros((1, CHUNK), jnp.float32)
+        obs_ref[1:2, :] = jnp.full((1, CHUNK), sentinel, jnp.float32)
 
     @pl.when(live_tile)
     def _():
         pix_x, pix_y = _tile_pixels(t, tiles_x, tile)
-        a = attr_ref[:]
         q = _block_geometry(a, nvalid, pix_x, pix_y)
         alpha, log_t = q["alpha"], q["log_t"]
 
@@ -204,87 +293,88 @@ def _forward_kernel(
         out_ref[0] = jnp.where(col == 9, T_new, out_ref[0] + contrib)
         # observability counter (forward.cu:579-582): #pixels contributed
         # while the pixel was still fresh (T > 0.5)
-        obs_ref[:] = jnp.sum(
+        obs_ref[0:1, :] = jnp.sum(
             ((w > 0) & (T_excl > 0.5)).astype(jnp.float32), axis=0, keepdims=True
         )
+        obs_ref[1:2, :] = jnp.where(q["in_range"], a[GID_CH:GID_CH + 1, :], sentinel)
 
     # opaque-tile blocks: keep channel 9 at the carried T (already written by
     # the last live block); nothing else to do.
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "tile", "num_blocks"))
+@functools.partial(
+    jax.jit, static_argnames=("tiles_y", "tiles_x", "tile", "num_blocks", "sentinel")
+)
 def blend_tiles_pallas_fwd(
-    attrs: jnp.ndarray,  # (ATTR, I_aligned) instance-sorted packed attributes
-    tile_start: jnp.ndarray,  # (T,) int32, multiples of CHUNK
-    tile_count: jnp.ndarray,  # (T,) int32
+    attrs: jnp.ndarray,  # (ATTR, I + 2*CHUNK) depth-sorted packed attributes
+    tables: WindowTables,
     tiles_y: int,
     tiles_x: int,
     tile: int = 16,
     num_blocks: int = 0,
-) -> jnp.ndarray:
-    """Returns (T, P, OUT_CH) per-tile output planes. Tiles with zero
-    instances keep background defaults (handled by the caller via masking)."""
+    sentinel: int = 0,
+):
+    """Returns ((T, P, OUT_CH) per-tile planes, (2, B*CHUNK) obs/gid rows)."""
     T = tiles_y * tiles_x
     P = tile * tile
-    I = attrs.shape[1]
-    num_blocks = num_blocks or I // CHUNK
-    tile_of, first, nvalid = block_tables(tile_start, tile_count, num_blocks)
+    num_blocks = num_blocks or tables.tile_of.shape[0]
 
-    kernel = functools.partial(_forward_kernel, tile=tile, tiles_x=tiles_x)
+    kernel = functools.partial(
+        _forward_kernel, tile=tile, tiles_x=tiles_x, sentinel=float(sentinel)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((ATTR, CHUNK), lambda b, tof, first, nv: (0, b)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, OUT_CH), lambda b, tof, first, nv: (tof[b], 0, 0)),
-            pl.BlockSpec((1, CHUNK), lambda b, tof, first, nv: (0, b)),
+            pl.BlockSpec((1, P, OUT_CH), lambda b, tof, first, nv, ws: (tof[b], 0, 0)),
+            pl.BlockSpec((2, CHUNK), lambda b, tof, first, nv, ws: (0, b)),
         ],
-        scratch_shapes=[pltpu.VMEM((P, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((2, ATTR, 2 * CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
-    out, observe = pl.pallas_call(
+    out, obs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, P, OUT_CH), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_blocks * CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((2, num_blocks * CHUNK), jnp.float32),
         ],
-    )(tile_of, first, nvalid, attrs)
+    )(tables.tile_of, tables.first, tables.nvalid, tables.win_start, attrs)
+    return out, obs
 
-    # empty tiles were never visited → garbage; reset them to (0, T_final=1)
-    empty = tile_count == 0
+
+def finalize_tile_planes(tile_out: jnp.ndarray, tile_count: jnp.ndarray):
+    """Reset never-visited (empty) tiles to background defaults."""
     col = jnp.arange(OUT_CH)
     default = jnp.where(col == 9, 1.0, 0.0).astype(jnp.float32)
-    out = jnp.where(empty[:, None, None], default[None, None, :], out)
-    return out, observe[0]
+    empty = tile_count == 0
+    return jnp.where(empty[:, None, None], default[None, None, :], tile_out)
 
 
 def blend_tiles_pallas(pre, binning, tiles_y: int, tiles_x: int, tile: int = 16):
-    """Drop-in forward replacement for blend_jnp.blend_tiles (same output dict).
+    """Drop-in forward replacement for blend_jnp.blend_tiles (same output
+    dict). Gradients flow through the custom VJP in pallas_vjp.py."""
+    from hidegs_tpu.raster.pallas_vjp import blend_packed
 
-    out_observe is not yet produced by the kernel (needs a per-instance output
-    stream); callers needing it use the jnp path. Gradients flow through the
-    custom VJP registered in pallas_vjp.py.
-    """
-    from hidegs_tpu.raster.binning import align_binning
-    from hidegs_tpu.raster.pallas_vjp import blend_core
-
-    num_tiles = tiles_y * tiles_x
     N = pre.mean2d.shape[0]
-    I = binning.gauss_id.shape[0]
-    aligned_size = I + num_tiles * CHUNK
-    ab = align_binning(binning, N, num_tiles, CHUNK, aligned_size)
-    attrs = pack_instance_attrs(pre, ab.gauss_id, ab.gauss_id < N)
-    tile_out, observe = blend_core(
-        attrs, ab.tile_start, ab.tile_count, tiles_y, tiles_x, tile
+    packed = pack_gaussian_matrix(pre)
+    tile_out, observe = blend_packed(
+        packed,
+        binning.gauss_id,
+        binning.tile_start,
+        binning.tile_count,
+        tiles_y,
+        tiles_x,
+        tile,
     )
     planes = tiles_to_planes(tile_out, tiles_y, tiles_x, tile)
-    planes["out_observe"] = jax.ops.segment_sum(
-        observe[: ab.gauss_id.shape[0]],
-        jnp.minimum(ab.gauss_id, N),
-        num_segments=N + 1,
-    )[:N].astype(jnp.int32)
+    planes["out_observe"] = observe[:N].astype(jnp.int32)
     return planes
 
 

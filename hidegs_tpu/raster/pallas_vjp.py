@@ -2,9 +2,9 @@
 
 TPU re-design of the reference backward (backward.cu renderCUDA :500-772):
 instead of re-walking tiles back-to-front with atomicAdd gradient scatter,
-one block-pipelined grid pass runs front-to-back over the chunk-aligned
-instance stream (same sequential-grid structure as the forward, see
-pallas_blend.py):
+one block-pipelined grid pass runs front-to-back over the virtual
+chunk-aligned instance stream (same windowed-DMA structure as the forward,
+see pallas_blend.py):
 
   The per-tile totals need no kernel at all: the forward's saved output IS
   Σ_k w_k·ch_k per channel, so G_total(p) = Σ_ch out(p,ch)·g(p,ch) and
@@ -14,9 +14,15 @@ pallas_blend.py):
             dα_k = m_k·T_k·(ch_k·g) − S_k/(1−α_k)
           (backward.cu:694-698's accum_rec recurrence in closed form); the
           chain rule to opacity/conic/mean2d runs vectorized and each block's
-          (ATTR, CHUNK) gradient tile is written through the output pipeline
-          to its own disjoint slot — deterministic, no atomics
-          (SURVEY §7.3 hard-part #2).
+          (ATTR, CHUNK) gradient tile — gaussian ids passed through in
+          channel GID_CH — is written to its own disjoint slot, then one
+          deterministic segment-sum folds instances onto gaussians
+          (no atomics; SURVEY §7.3 hard-part #2).
+
+The custom_vjp boundary is `blend_packed`: per-GAUSSIAN attribute rows in,
+per-gaussian gradient rows out. Instance expansion (a contiguous row gather)
+happens inside the forward, so its transpose is exactly the segment-sum the
+backward kernel's gid channel enables.
 
 Prefix sums within a block are (P,C)@(C,C) upper-triangular matmuls (MXU).
 """
@@ -33,33 +39,43 @@ from hidegs_tpu.raster.pallas_blend import (
     ALPHA_MAX,
     ATTR,
     CHUNK,
+    GID_CH,
     OUT_CH,
     T_EPS,
+    WindowTables,
     _block_channels,
     _block_geometry,
+    _start_input_pipeline,
     _tile_pixels,
     _triu,
-    block_tables,
     blend_tiles_pallas_fwd,
+    expand_to_instances,
+    finalize_tile_planes,
+    window_tables,
 )
 
 
 def _passB_kernel(
-    tile_of_ref, first_ref, nvalid_ref,
-    attr_ref,  # (ATTR, CHUNK)
+    tile_of_ref, first_ref, nvalid_ref, win_start_ref,
+    attrs_ref,  # (ATTR, I+2*CHUNK) in HBM; windows DMA'd manually
     g_ref,  # (1, P, OUT_CH) cotangents of this block's tile
-    gt_ref,  # (1, P, OUT_CH) pass-A totals of this block's tile
+    gt_ref,  # (1, P, OUT_CH) per-tile totals (ch0 = G_total, ch1 = T_final·gT)
     d_ref,  # (ATTR, CHUNK) out — gradient block (unique per b)
     T_carry,  # (P, 1) scratch
     R_carry,  # (P, 1) scratch: running prefix of w·chg
+    attr_buf,  # (2, ATTR, CHUNK) scratch — double-buffered windows
+    in_sem,  # DMA semaphores (2,)
     *,
     tile: int,
     tiles_x: int,
+    sentinel: float,
 ):
     b = pl.program_id(0)
     P = tile * tile
     t = tile_of_ref[b]
     nvalid = nvalid_ref[b]
+
+    a = _start_input_pipeline(attrs_ref, attr_buf, in_sem, win_start_ref)
 
     @pl.when(first_ref[b] == 1)
     def _():
@@ -76,12 +92,12 @@ def _passB_kernel(
 
     @pl.when(jnp.logical_not(live))
     def _():
-        d_ref[:] = jnp.zeros((ATTR, CHUNK), jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (ATTR, CHUNK), 0)
+        d_ref[:] = jnp.where(row == GID_CH, sentinel, 0.0)
 
     @pl.when(live)
     def _():
         pix_x, pix_y = _tile_pixels(t, tiles_x, tile)
-        a = attr_ref[:]
         q = _block_geometry(a, nvalid, pix_x, pix_y)
         alpha, log_t = q["alpha"], q["log_t"]
         cum_excl = jnp.dot(log_t, _triu(True), preferred_element_type=jnp.float32)
@@ -106,10 +122,10 @@ def _passB_kernel(
         )
         S = (G_total - prefix_incl) + S_base  # (P, CHUNK)
 
-        live = (q["keep"] & (q["alpha_raw"] < ALPHA_MAX)).astype(jnp.float32)
+        live_g = (q["keep"] & (q["alpha_raw"] < ALPHA_MAX)).astype(jnp.float32)
         d_alpha = T_excl * chg - S / (1.0 - alpha)
-        d_power = d_alpha * alpha * live
-        d_op_pix = d_alpha * jnp.exp(jnp.minimum(q["power"], 0.0)) * live
+        d_power = d_alpha * alpha * live_g
+        d_op_pix = d_alpha * jnp.exp(jnp.minimum(q["power"], 0.0)) * live_g
 
         dx, dy, ca, cb, cc = q["dx"], q["dy"], q["ca"], q["cb"], q["cc"]
         d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)  # (1, CHUNK)
@@ -124,6 +140,7 @@ def _passB_kernel(
             g_ch, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
+        gid_row = jnp.where(q["in_range"], a[GID_CH:GID_CH + 1, :], sentinel)
         d_ref[:] = jnp.concatenate(
             [
                 d_mx, d_my, d_ca, d_cb, d_cc,
@@ -132,7 +149,8 @@ def _passB_kernel(
                 d_ch[3:4, :],  # invdepth
                 d_ch[4:7, :],  # normal
                 d_ch[7:8, :],  # distance
-                jnp.zeros((ATTR - 14, CHUNK), jnp.float32),
+                gid_row,
+                jnp.zeros((ATTR - 15, CHUNK), jnp.float32),
             ],
             axis=0,
         )
@@ -142,97 +160,106 @@ def _passB_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_y", "tiles_x", "tile", "num_blocks")
+    jax.jit, static_argnames=("tiles_y", "tiles_x", "tile", "num_blocks", "sentinel")
 )
 def blend_tiles_pallas_bwd(
-    attrs: jnp.ndarray,  # (ATTR, I_aligned)
-    tile_start: jnp.ndarray,
-    tile_count: jnp.ndarray,
+    attrs: jnp.ndarray,  # (ATTR, I + 2*CHUNK) depth-sorted
+    tables: WindowTables,
     g_tiles: jnp.ndarray,  # (T, P, OUT_CH) cotangents
     gt: jnp.ndarray,  # (T, P, OUT_CH): ch0 = G_total, ch1 = T_final
     tiles_y: int,
     tiles_x: int,
     tile: int = 16,
     num_blocks: int = 0,
+    sentinel: int = 0,
 ) -> jnp.ndarray:
-    T = tiles_y * tiles_x
     P = tile * tile
-    I = attrs.shape[1]
-    num_blocks = num_blocks or I // CHUNK
-    tile_of, first, nvalid = block_tables(tile_start, tile_count, num_blocks)
+    num_blocks = num_blocks or tables.tile_of.shape[0]
 
-    kernelB = functools.partial(_passB_kernel, tile=tile, tiles_x=tiles_x)
+    kernelB = functools.partial(
+        _passB_kernel, tile=tile, tiles_x=tiles_x, sentinel=float(sentinel)
+    )
     gridB = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((ATTR, CHUNK), lambda b, tof, f, nv: (0, b)),
-            pl.BlockSpec((1, P, OUT_CH), lambda b, tof, f, nv: (tof[b], 0, 0)),
-            pl.BlockSpec((1, P, OUT_CH), lambda b, tof, f, nv: (tof[b], 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, P, OUT_CH), lambda b, tof, f, nv, ws: (tof[b], 0, 0)),
+            pl.BlockSpec((1, P, OUT_CH), lambda b, tof, f, nv, ws: (tof[b], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((ATTR, CHUNK), lambda b, tof, f, nv: (0, b)),
+        out_specs=pl.BlockSpec((ATTR, CHUNK), lambda b, tof, f, nv, ws: (0, b)),
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((2, ATTR, 2 * CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    d_attrs = pl.pallas_call(
+    return pl.pallas_call(
         kernelB,
         grid_spec=gridB,
         out_shape=jax.ShapeDtypeStruct((ATTR, num_blocks * CHUNK), jnp.float32),
-    )(tile_of, first, nvalid, attrs, g_tiles, gt)
-
-    if num_blocks * CHUNK < I:
-        d_attrs = jnp.pad(d_attrs, ((0, 0), (0, I - num_blocks * CHUNK)))
-    return d_attrs[:, :I]
+    )(tables.tile_of, tables.first, tables.nvalid, tables.win_start,
+      attrs, g_tiles, gt)
 
 
 # ------------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def blend_core(attrs, tile_start, tile_count, tiles_y, tiles_x, tile):
-    """(ATTR, I) instance attrs + tile ranges →
-    ((T, P, OUT_CH) tile planes, (B*CHUNK,) per-instance observe counts)."""
-    return blend_tiles_pallas_fwd(
-        attrs, tile_start, tile_count, tiles_y, tiles_x, tile
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def blend_packed(packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile):
+    """(N+1, ATTR) per-gaussian attribute rows + sorted instance ids/ranges →
+    ((T, P, OUT_CH) tile planes, (N+1,) per-gaussian observe counts)."""
+    out, _res = _blend_packed_fwd(
+        packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile
     )
+    return out
 
 
-def _blend_core_fwd(attrs, tile_start, tile_count, tiles_y, tiles_x, tile):
-    out = blend_tiles_pallas_fwd(attrs, tile_start, tile_count, tiles_y, tiles_x, tile)
-    # residual includes the rendered tile planes: the backward's per-tile
-    # totals derive from them directly (see module docstring)
-    return out, (attrs, tile_start, tile_count, out[0])
+def _tables_and_attrs(packed, gid, tile_start, tile_count, tiles_y, tiles_x):
+    N = packed.shape[0] - 1
+    I = gid.shape[0]
+    num_tiles = tiles_y * tiles_x
+    num_blocks = (I + num_tiles * CHUNK) // CHUNK
+    tables = window_tables(tile_start, tile_count, num_blocks, I)
+    attrs = expand_to_instances(packed, gid)
+    return N, num_blocks, tables, attrs
 
 
-def _blend_core_bwd(tiles_y, tiles_x, tile, res, cts):
+def _blend_packed_fwd(packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile):
+    N, num_blocks, tables, attrs = _tables_and_attrs(
+        packed, gid, tile_start, tile_count, tiles_y, tiles_x
+    )
+    tile_out, obs = blend_tiles_pallas_fwd(
+        attrs, tables, tiles_y, tiles_x, tile, num_blocks, sentinel=N
+    )
+    tile_out = finalize_tile_planes(tile_out, tile_count)
+    observe = jax.ops.segment_sum(
+        obs[0], obs[1].astype(jnp.int32), num_segments=N + 1
+    )
+    # residual keeps the rendered planes: the backward's per-tile totals
+    # derive from them directly (see module docstring)
+    return (tile_out, observe), (attrs, tables, tile_out, N, num_blocks)
+
+
+def _blend_packed_bwd(tiles_y, tiles_x, tile, res, cts):
     g_tiles, _g_observe = cts  # observe counts carry no gradient
-    attrs, tile_start, tile_count, fwd_out = res
+    attrs, tables, fwd_out, N, num_blocks = res
     col = jnp.arange(OUT_CH)
     g_ch = jnp.where(col[None, None, :] == 9, 0.0, g_tiles)
     G_total = jnp.sum(fwd_out * g_ch, axis=-1, keepdims=True)  # (T, P, 1)
     T_final = fwd_out[..., 9:10]
     gt = jnp.concatenate(
-        [G_total, T_final, jnp.zeros_like(fwd_out[..., :OUT_CH - 2])], axis=-1
+        [G_total, T_final, jnp.zeros_like(fwd_out[..., : OUT_CH - 2])], axis=-1
     )
-    d_attrs = blend_tiles_pallas_bwd(
-        attrs, tile_start, tile_count, g_tiles, gt, tiles_y, tiles_x, tile
-    )
-    # pass B writes every block deterministically (invalid lanes produce
-    # exact zeros through the masks), but zero the never-covered columns
-    # anyway for belt-and-braces against non-finite junk. Block-level tables
-    # + a broadcast — NOT a per-slot searchsorted, which costs ~50ms at
-    # millions of slots on TPU.
-    I = attrs.shape[1]
-    nb = I // CHUNK
-    _, _, nvalid_b = block_tables(tile_start, tile_count, nb)
-    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
-    covered = (lane < nvalid_b[:, None]).reshape(-1)
-    if covered.shape[0] < I:
-        covered = jnp.pad(covered, (0, I - covered.shape[0]))
-    d_attrs = jnp.where(covered[None, :], d_attrs, 0.0)
-    return d_attrs, None, None
+    d_inst = blend_tiles_pallas_bwd(
+        attrs, tables, g_tiles, gt, tiles_y, tiles_x, tile, num_blocks, sentinel=N
+    )  # (ATTR, B*CHUNK); padding lanes: zero grads + sentinel ids
+    seg = d_inst[GID_CH].astype(jnp.int32)
+    d_rows = d_inst[:GID_CH].T  # (B*CHUNK, GID_CH)
+    d_packed = jax.ops.segment_sum(d_rows, seg, num_segments=N + 1)
+    d_packed = jnp.pad(d_packed, ((0, 0), (0, ATTR - GID_CH)))
+    return d_packed, None, None, None
 
 
-blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
+blend_packed.defvjp(_blend_packed_fwd, _blend_packed_bwd)

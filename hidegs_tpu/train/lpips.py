@@ -99,18 +99,71 @@ def random_lpips_params(key=None) -> Dict[str, jnp.ndarray]:
     return params
 
 
-def convert_torch_weights(out_npz: str):
-    """Convert torchvision VGG16 + lpips linear heads to our .npz.
+def params_from_torch_modules(conv_modules, lin_weights=None) -> Dict[str, np.ndarray]:
+    """Map torch Conv2d modules (in VGG16 feature order) + optional LPIPS
+    1x1 linear-head weights to this module's parameter dict.
 
-    Requires an environment WITH torchvision + the `lpips` package and their
-    cached weights (not available in this container):
-
-        import lpips, torch, numpy as np
-        net = lpips.LPIPS(net='vgg')
-        ... (map net.net.slice*/net.lin* state_dict to conv{i}_w/b, lin{i}_w)
-
-    Provided for completeness so deployments can generate the weight file.
+    `conv_modules`: the 13 VGG16 Conv2d layers in forward order.
+    `lin_weights`: 5 arrays of shape (1, C, 1, 1) (the lpips package's
+    `net.lins[j].model[-1].weight`); uniform 1/C heads when omitted.
     """
-    raise NotImplementedError(
-        "run in an environment with torchvision+lpips; see docstring"
-    )
+    n_convs = sum(n for _, n in VGG16_BLOCKS)
+    assert len(conv_modules) == n_convs, f"expected {n_convs} convs"
+    params: Dict[str, np.ndarray] = {}
+    for i, m in enumerate(conv_modules):
+        params[f"conv{i}_w"] = np.asarray(m.weight.detach().cpu().numpy(), np.float32)
+        params[f"conv{i}_b"] = np.asarray(m.bias.detach().cpu().numpy(), np.float32)
+    for j, (ch, _) in enumerate(VGG16_BLOCKS):
+        if lin_weights is not None:
+            w = np.asarray(lin_weights[j], np.float32).reshape(1, ch, 1, 1)
+        else:
+            w = np.full((1, ch, 1, 1), 1.0 / ch, np.float32)
+        params[f"lin{j}_w"] = w
+    return params
+
+
+def convert_torch_weights(out_npz: str, source: str = "lpips"):
+    """Convert pretrained torch weights to the .npz `load_lpips` reads.
+
+    Run in an environment with the needed packages/caches (this container has
+    neither torchvision nor network egress):
+      * source="lpips": the `lpips` pip package's calibrated VGG LPIPS
+        (conv trunk + linear heads) — exact reference parity
+        (lpipsPyTorch/modules/lpips.py:8-36).
+      * source="torchvision": torchvision's ImageNet VGG16 trunk with
+        uniform heads (uncalibrated fallback).
+    """
+    import torch
+
+    if source == "lpips":
+        import lpips as lpips_pkg
+
+        net = lpips_pkg.LPIPS(net="vgg")
+        convs = [m for m in net.net.modules() if isinstance(m, torch.nn.Conv2d)]
+        lins = [lin.model[-1].weight.detach().cpu().numpy() for lin in net.lins]
+        params = params_from_torch_modules(convs, lins)
+    elif source == "torchvision":
+        from torchvision.models import VGG16_Weights, vgg16
+
+        feats = vgg16(weights=VGG16_Weights.IMAGENET1K_V1).features
+        convs = [m for m in feats if isinstance(m, torch.nn.Conv2d)]
+        params = params_from_torch_modules(convs)
+    else:
+        raise ValueError(f"unknown source {source!r}")
+    np.savez(out_npz, **params)
+    return params
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=convert_torch_weights.__doc__)
+    p.add_argument("--out", required=True, help="output .npz path")
+    p.add_argument("--source", default="lpips", choices=["lpips", "torchvision"])
+    a = p.parse_args(argv)
+    params = convert_torch_weights(a.out, a.source)
+    print(f"wrote {len(params)} arrays to {a.out}")
+
+
+if __name__ == "__main__":
+    main()
