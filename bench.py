@@ -28,12 +28,22 @@ def main():
     from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
     from hidegs_tpu.raster.api import RasterConfig, render
 
+    from hidegs_tpu.raster.binning import bin_gaussians, tile_grid
+    from hidegs_tpu.raster.pallas_vjp import needed_blocks
+    from hidegs_tpu.raster.preprocess import preprocess_gaussians
+
     scene = make_toy_gaussians(N_GAUSSIANS, seed=0)
     cam = ring_camera(0, height=H, width=W)
-    # budget sized to the workload (~221k instances measured); pallas is the
-    # production backend (19.0 Mpix/s vs 8.9 for the XLA segmented path on
-    # this workload — docs/BENCHMARKS.md)
-    cfg = RasterConfig(backend="pallas", max_instances=1 << 18)
+    # instance budget sized to the workload (~221k rect instances measured);
+    # block budget sized to the actual post-cull load (one eager binning
+    # pass), +12% headroom rounded to 256 — the trainer uses the same
+    # re-budgeting policy via the block_overflow output
+    max_inst = 1 << 18
+    ty, tx = tile_grid(H, W)
+    tb0 = bin_gaussians(preprocess_gaussians(*scene, cam), ty, tx, max_inst)
+    blocks = int(needed_blocks(tb0.tile_count))
+    max_blocks = -(-int(blocks * 1.12) // 256) * 256
+    cfg = RasterConfig(backend="pallas", max_instances=max_inst, max_blocks=max_blocks)
     target = jnp.zeros((3, H, W))
 
     def loss_fn(means3d, scales, quats, opacities, shs):

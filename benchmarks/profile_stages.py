@@ -51,7 +51,15 @@ def main():
 
     tiles_y, tiles_x = B.tile_grid(H, W)
     num_tiles = tiles_y * tiles_x
-    num_blocks = (MAXI + num_tiles * CHUNK) // CHUNK
+    # fitted block budget (same policy as bench.py); worst case would be
+    # (MAXI + num_tiles * CHUNK) // CHUNK
+    from hidegs_tpu.raster.pallas_vjp import needed_blocks
+
+    pre0 = preprocess_gaussians(*scene, cam)
+    tb0 = B.bin_gaussians(pre0, tiles_y, tiles_x, MAXI)
+    num_blocks = -(-int(needed_blocks(tb0.tile_count)) * 112 // 100 // 256) * 256
+    print(f"block budget {num_blocks} (worst {(MAXI + num_tiles * CHUNK) // CHUNK})")
+    cfg = RasterConfig(backend="pallas", max_instances=MAXI, max_blocks=num_blocks)
 
     pre_fn = jax.jit(
         lambda m, s, q, o, c: preprocess_gaussians(m, s, q, o, c, cam)
@@ -104,7 +112,8 @@ def main():
 
     def core_loss(packed, tb):
         out, _ = blend_packed(
-            packed, tb.gauss_id, tb.tile_start, tb.tile_count, tiles_y, tiles_x, 16
+            packed, tb.gauss_id, tb.tile_start, tb.tile_count, tiles_y, tiles_x, 16,
+            num_blocks,
         )
         return jnp.sum(out)
 

@@ -34,6 +34,14 @@ class RasterConfig:
     # 0 = exact lexicographic (tile, depth) sort; >0 = single-key sort with
     # this many depth-quantization bits (faster, reorders near-equal depths)
     depth_sort_bits: int = 0
+    # exact per-instance tile-intersection cull (bit-identical output; drops
+    # instances whose alpha < 1/255 at every pixel of their tile)
+    tile_cull: bool = True
+    # pallas backend: static cap on kernel grid blocks (0 = worst case).
+    # Sizing this near the actual post-cull load shrinks both kernels and
+    # the gradient segment-sum; overflow is reported as `block_overflow`
+    # for host-side re-budgeting (same policy as max_instances).
+    max_blocks: int = 0
 
 
 def render(
@@ -84,12 +92,20 @@ def render(
 
     tb = bin_gaussians(
         pre, tiles_y, tiles_x, config.max_instances, config.tile,
-        depth_bits=config.depth_sort_bits,
+        depth_bits=config.depth_sort_bits, tile_cull=config.tile_cull,
     )
+    block_overflow = jnp.int32(0)
     if config.backend == "pallas":
         from hidegs_tpu.raster.pallas_blend import blend_tiles_pallas
+        from hidegs_tpu.raster.pallas_vjp import needed_blocks
 
-        planes = blend_tiles_pallas(pre, tb, tiles_y, tiles_x, config.tile)
+        planes = blend_tiles_pallas(
+            pre, tb, tiles_y, tiles_x, config.tile, config.max_blocks
+        )
+        if config.max_blocks:
+            block_overflow = jnp.maximum(
+                needed_blocks(tb.tile_count) - config.max_blocks, 0
+            )
     else:
         planes = blend_tiles(pre, tb, tiles_y, tiles_x, config.tile)
 
@@ -106,6 +122,7 @@ def render(
         "radii": pre.radius,
         "visibility": pre.visible & (pre.radius > 0),
         "overflow": tb.overflow,
+        "block_overflow": block_overflow,
     }
     if render_geo:
         nrm = crop(planes["normal"])
@@ -117,6 +134,52 @@ def render(
         # gaussian_renderer/__init__.py:21-33) for the single-view loss.
         out["depth_normal"] = jnp.moveaxis(depth_to_normal_cam(out["plane_depth"], cam), -1, 0)
     return out
+
+
+def render_coarse(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray,
+    cam: CameraParams,
+    indices: Optional[jnp.ndarray] = None,
+    background: Optional[jnp.ndarray] = None,
+    active_sh_degree=shm.MAX_SH_DEGREE,
+    config: RasterConfig = RasterConfig(),
+) -> RenderOutputs:
+    """Coarse/scaffold render of an optional index subset — color only, no
+    depth/geometry planes (reference render_coarse,
+    gaussian_renderer/__init__.py:376-488).
+
+    With `indices`, only those gaussians are rasterized and `visibility` is
+    scattered back to full length so densification stats keep their indexing
+    (reference :476-482). On TPU the subset is one static-shape gather, so
+    the step stays jittable for a fixed subset size.
+    """
+    if indices is not None:
+        sub = lambda a: jnp.take(a, indices, axis=0)
+        means3d, scales, quats, opacities, shs = (
+            sub(means3d), sub(scales), sub(quats), sub(opacities), sub(shs)
+        )
+    out = render(
+        means3d, scales, quats, opacities, shs, cam,
+        background=background, active_sh_degree=active_sh_degree,
+        render_geo=False, config=config,
+    )
+    if indices is not None:
+        # visibility here is subset-indexed; use scatter_subset_visibility to
+        # map it back onto the full arrays for densification stats
+        out["subset_indices"] = indices
+    return out
+
+
+def scatter_subset_visibility(
+    vis_subset: jnp.ndarray, indices: jnp.ndarray, n_full: int
+) -> jnp.ndarray:
+    """Expand subset visibility back to the full array (reference
+    render_coarse's vis_filter reassembly, gaussian_renderer/__init__.py:476-482)."""
+    return jnp.zeros((n_full,), bool).at[indices].set(vis_subset)
 
 
 def suggest_max_instances(n_gaussians: int, mult: int = 8, floor: int = 1 << 16) -> int:

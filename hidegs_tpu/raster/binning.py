@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from hidegs_tpu.raster.preprocess import PreprocessedGaussians
 
 TILE = 16  # pixels per tile side (config.h:16-17 BLOCK_X/BLOCK_Y)
+ALPHA_MIN = 1.0 / 255.0  # blend kernel's contribution cutoff (forward.cu:558)
 
 
 class TileBinning(NamedTuple):
@@ -66,9 +67,36 @@ def compute_tile_rects(
     return x0, y0, x1, y1
 
 
+def _tile_min_quadratic(lo_x, hi_x, lo_y, hi_y, ca, cb, cc):
+    """Exact min of q(d) = ½(ca·dx² + cc·dy²) + cb·dx·dy over the box
+    [lo_x,hi_x]×[lo_y,hi_y] (q = −power of the splat).
+
+    q is convex (conic is PSD); the unconstrained minimum is d=0 (the splat
+    center). If the center lies outside the box, the minimum is on one of the
+    four edges, where the 1D minimizer along the free axis has a closed form.
+    """
+
+    def edge_x(ex):  # edge at dx = ex, dy free in [lo_y, hi_y]
+        dy = jnp.clip(-cb * ex / jnp.maximum(cc, 1e-12), lo_y, hi_y)
+        return 0.5 * (ca * ex * ex + cc * dy * dy) + cb * ex * dy
+
+    def edge_y(ey):  # edge at dy = ey, dx free in [lo_x, hi_x]
+        dx = jnp.clip(-cb * ey / jnp.maximum(ca, 1e-12), lo_x, hi_x)
+        return 0.5 * (ca * dx * dx + cc * ey * ey) + cb * dx * ey
+
+    q_edge = jnp.minimum(
+        jnp.minimum(edge_x(lo_x), edge_x(hi_x)),
+        jnp.minimum(edge_y(lo_y), edge_y(hi_y)),
+    )
+    inside = (lo_x <= 0) & (0 <= hi_x) & (lo_y <= 0) & (0 <= hi_y)
+    return jnp.where(inside, 0.0, q_edge)
+
+
 @partial(
     jax.jit,
-    static_argnames=("tiles_y", "tiles_x", "max_instances", "tile", "depth_bits"),
+    static_argnames=(
+        "tiles_y", "tiles_x", "max_instances", "tile", "depth_bits", "tile_cull"
+    ),
 )
 def bin_gaussians(
     pre: PreprocessedGaussians,
@@ -77,6 +105,7 @@ def bin_gaussians(
     max_instances: int,
     tile: int = TILE,
     depth_bits: int = 0,
+    tile_cull: bool = True,
 ) -> TileBinning:
     N = pre.mean2d.shape[0]
     num_tiles = tiles_y * tiles_x
@@ -107,23 +136,52 @@ def bin_gaussians(
     # and < budget/2^12 ≤ 2^24, both exactly representable).
     starts_hi = (starts >> 12).astype(jnp.float32)
     starts_lo = (starts & 0xFFF).astype(jnp.float32)
-    packed = jnp.stack(
-        [
-            x0.astype(jnp.float32),
-            y0.astype(jnp.float32),
-            jnp.maximum(w, 1).astype(jnp.float32),
-            starts_hi,
-            pre.depth,
-            starts_lo,
-        ],
-        axis=-1,
-    )  # (N, 6)
+    fields = [
+        x0.astype(jnp.float32),
+        y0.astype(jnp.float32),
+        jnp.maximum(w, 1).astype(jnp.float32),
+        starts_hi,
+        pre.depth,
+        starts_lo,
+    ]
+    if tile_cull:
+        fields += [
+            pre.mean2d[:, 0],
+            pre.mean2d[:, 1],
+            pre.conic[:, 0],
+            pre.conic[:, 1],
+            pre.conic[:, 2],
+            pre.opacity,
+        ]
+    packed = jnp.stack(fields, axis=-1)  # (N, 6|12)
     rows = packed[g]
     g_start = (rows[:, 3].astype(jnp.int32) << 12) | rows[:, 5].astype(jnp.int32)
     local = slots - g_start
     gw = rows[:, 2].astype(jnp.int32)
     tx = rows[:, 0].astype(jnp.int32) + local % gw
     ty = rows[:, 1].astype(jnp.int32) + local // gw
+
+    if tile_cull:
+        # Exact tile-intersection cull. The 3σ-AABB rect above touches many
+        # tiles where the splat's alpha stays below the blend kernel's 1/255
+        # cutoff at EVERY pixel center — those instances contribute exactly
+        # zero (forward.cu:558's skip, our pallas keep-mask), so dropping
+        # them here is bit-exact and shrinks the sorted stream, the window
+        # tables, both Pallas grids, and the gradient segment-sum. Bound the
+        # discrete pixel-center max by the continuous max over the tile box
+        # (conservative; keeps a superset of contributing instances).
+        u, v = rows[:, 6], rows[:, 7]
+        ca, cb, cc = rows[:, 8], rows[:, 9], rows[:, 10]
+        op = rows[:, 11]
+        lo_x = tx.astype(jnp.float32) * tile + 0.5 - u
+        lo_y = ty.astype(jnp.float32) * tile + 0.5 - v
+        hi_x = lo_x + (tile - 1)
+        hi_y = lo_y + (tile - 1)
+        q_min = _tile_min_quadratic(lo_x, hi_x, lo_y, hi_y, ca, cb, cc)
+        # keep iff op·exp(−q_min) ≥ ALPHA_MIN, with fp-roundoff slack
+        q_budget = jnp.log(jnp.maximum(op, 1e-12) / ALPHA_MIN)
+        valid = valid & (q_min <= q_budget + 1e-3)
+
     tid = ty * tiles_x + tx
     tid = jnp.where(valid, tid, num_tiles)  # sentinel sorts to the end
     gid = jnp.where(valid, g, N)

@@ -349,15 +349,22 @@ def blend_tiles_pallas_fwd(
     return out, obs
 
 
-def finalize_tile_planes(tile_out: jnp.ndarray, tile_count: jnp.ndarray):
-    """Reset never-visited (empty) tiles to background defaults."""
+def finalize_tile_planes(
+    tile_out: jnp.ndarray, tile_count: jnp.ndarray, visited=None
+):
+    """Reset empty tiles — and tiles beyond the block budget, whose output
+    buffer was never written — to background defaults."""
     col = jnp.arange(OUT_CH)
     default = jnp.where(col == 9, 1.0, 0.0).astype(jnp.float32)
     empty = tile_count == 0
+    if visited is not None:
+        empty = empty | ~visited
     return jnp.where(empty[:, None, None], default[None, None, :], tile_out)
 
 
-def blend_tiles_pallas(pre, binning, tiles_y: int, tiles_x: int, tile: int = 16):
+def blend_tiles_pallas(
+    pre, binning, tiles_y: int, tiles_x: int, tile: int = 16, max_blocks: int = 0
+):
     """Drop-in forward replacement for blend_jnp.blend_tiles (same output
     dict). Gradients flow through the custom VJP in pallas_vjp.py."""
     from hidegs_tpu.raster.pallas_vjp import blend_packed
@@ -372,6 +379,7 @@ def blend_tiles_pallas(pre, binning, tiles_y: int, tiles_x: int, tile: int = 16)
         tiles_y,
         tiles_x,
         tile,
+        max_blocks,
     )
     planes = tiles_to_planes(tile_out, tiles_y, tiles_x, tile)
     planes["out_observe"] = observe[:N].astype(jnp.int32)

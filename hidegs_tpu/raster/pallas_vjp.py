@@ -206,34 +206,53 @@ def blend_tiles_pallas_bwd(
 # ------------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def blend_packed(packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def blend_packed(
+    packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks=0
+):
     """(N+1, ATTR) per-gaussian attribute rows + sorted instance ids/ranges →
-    ((T, P, OUT_CH) tile planes, (N+1,) per-gaussian observe counts)."""
+    ((T, P, OUT_CH) tile planes, (N+1,) per-gaussian observe counts).
+
+    `max_blocks` (static) caps the kernel grid / gradient-stream length; 0
+    means the worst case (every tile's span padded to a CHUNK multiple).
+    A smaller budget shrinks both Pallas grids and the gradient segment-sum
+    to the actual post-cull load; tiles whose blocks fall beyond the budget
+    render as empty (the caller re-budgets via the block_overflow output,
+    same policy as the instance budget, SURVEY §7.3 #1).
+    """
     out, _res = _blend_packed_fwd(
-        packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile
+        packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks
     )
     return out
 
 
-def _tables_and_attrs(packed, gid, tile_start, tile_count, tiles_y, tiles_x):
+def _tables_and_attrs(
+    packed, gid, tile_start, tile_count, tiles_y, tiles_x, max_blocks=0
+):
     N = packed.shape[0] - 1
     I = gid.shape[0]
     num_tiles = tiles_y * tiles_x
-    num_blocks = (I + num_tiles * CHUNK) // CHUNK
+    worst = (I + num_tiles * CHUNK) // CHUNK
+    num_blocks = min(max_blocks, worst) if max_blocks else worst
     tables = window_tables(tile_start, tile_count, num_blocks, I)
     attrs = expand_to_instances(packed, gid)
     return N, num_blocks, tables, attrs
 
 
-def _blend_packed_fwd(packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile):
+def _blend_packed_fwd(
+    packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks=0
+):
     N, num_blocks, tables, attrs = _tables_and_attrs(
-        packed, gid, tile_start, tile_count, tiles_y, tiles_x
+        packed, gid, tile_start, tile_count, tiles_y, tiles_x, max_blocks
     )
     tile_out, obs = blend_tiles_pallas_fwd(
         attrs, tables, tiles_y, tiles_x, tile, num_blocks, sentinel=N
     )
-    tile_out = finalize_tile_planes(tile_out, tile_count)
+    # a tile is visited iff its first aligned block fits the budget
+    padded = ((tile_count + CHUNK - 1) // CHUNK) * CHUNK
+    astart = jnp.cumsum(padded) - padded
+    visited = (astart // CHUNK) < num_blocks
+    tile_out = finalize_tile_planes(tile_out, tile_count, visited)
     observe = jax.ops.segment_sum(
         obs[0], obs[1].astype(jnp.int32), num_segments=N + 1
     )
@@ -242,7 +261,7 @@ def _blend_packed_fwd(packed, gid, tile_start, tile_count, tiles_y, tiles_x, til
     return (tile_out, observe), (attrs, tables, tile_out, N, num_blocks)
 
 
-def _blend_packed_bwd(tiles_y, tiles_x, tile, res, cts):
+def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, res, cts):
     g_tiles, _g_observe = cts  # observe counts carry no gradient
     attrs, tables, fwd_out, N, num_blocks = res
     col = jnp.arange(OUT_CH)
@@ -260,6 +279,11 @@ def _blend_packed_bwd(tiles_y, tiles_x, tile, res, cts):
     d_packed = jax.ops.segment_sum(d_rows, seg, num_segments=N + 1)
     d_packed = jnp.pad(d_packed, ((0, 0), (0, ATTR - GID_CH)))
     return d_packed, None, None, None
+
+
+def needed_blocks(tile_count: jnp.ndarray) -> jnp.ndarray:
+    """Blocks the current binning actually needs (for block_overflow / re-budget)."""
+    return jnp.sum((tile_count + CHUNK - 1) // CHUNK).astype(jnp.int32)
 
 
 blend_packed.defvjp(_blend_packed_fwd, _blend_packed_bwd)

@@ -225,6 +225,7 @@ def compute_losses(
     aux["visibility"] = out["visibility"]
     aux["radii"] = out["radii"]
     aux["overflow"] = out["overflow"]
+    aux["block_overflow"] = out["block_overflow"]
     return total, aux
 
 

@@ -9,6 +9,7 @@ densify/opacity-reset/SH schedules, checkpoints, metric logging.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import random
 import time
@@ -228,6 +229,22 @@ def train(
         opt_cfg.max_all_points,
     )
     cfg = train_config_from_opt(opt_cfg, pipe_cfg, n_init)
+    if cfg.raster.backend == "pallas":
+        # initial block budget: half the worst case (the tile-intersection
+        # cull typically drops ≥40% of rect instances); block_overflow
+        # triggers ×2 re-budgeting below, capped at the worst case
+        from hidegs_tpu.raster.binning import tile_grid
+        from hidegs_tpu.raster.pallas_blend import CHUNK
+
+        num_tiles = max(
+            tile_grid(c.height, c.width)[0] * tile_grid(c.height, c.width)[1]
+            for c in scene.train_cameras
+        )
+        worst = cfg.raster.max_instances // CHUNK + num_tiles
+        blocks0 = min(-(-worst // 2 // 256) * 256, worst)
+        cfg = dataclasses.replace(
+            cfg, raster=dataclasses.replace(cfg.raster, max_blocks=blocks0)
+        )
     state = init_gaussians_from_scene(scene, model_cfg, capacity)
     ts = init_train_state(state, num_images=n_views, seed=seed)
 
@@ -288,8 +305,6 @@ def train(
                 # auto re-budget (SURVEY §7.3 #1 "occasional host-side
                 # re-budgeting"): double the static instance budget; the next
                 # step recompiles once at the new shape
-                import dataclasses
-
                 new_budget = cfg.raster.max_instances * 2
                 print(
                     f"  instance budget overflow ({int(m['overflow'])} dropped) — "
@@ -298,6 +313,16 @@ def train(
                 )
                 cfg = dataclasses.replace(
                     cfg, raster=dataclasses.replace(cfg.raster, max_instances=new_budget)
+                )
+            if m.get("block_overflow", 0) > 0 and cfg.raster.max_blocks:
+                new_blocks = cfg.raster.max_blocks * 2
+                print(
+                    f"  block budget overflow ({int(m['block_overflow'])} blocks) — "
+                    f"growing max_blocks {cfg.raster.max_blocks} → {new_blocks}",
+                    flush=True,
+                )
+                cfg = dataclasses.replace(
+                    cfg, raster=dataclasses.replace(cfg.raster, max_blocks=new_blocks)
                 )
         if (
             model_cfg.model_path

@@ -83,3 +83,72 @@ def test_pallas_backend_in_train_step():
     assert np.isfinite(float(metrics["total"]))
     for name in ts.gaussians.params._fields:
         assert np.isfinite(np.asarray(getattr(ts.gaussians.params, name))).all(), name
+
+
+def test_pallas_block_budget_parity_and_overflow():
+    """A block budget ≥ needed blocks must render identically to the worst
+    case; a too-small budget must report block_overflow and still produce
+    finite output (missing tiles fall back to background)."""
+    from hidegs_tpu.raster.binning import bin_gaussians, tile_grid
+    from hidegs_tpu.raster.pallas_vjp import needed_blocks
+    from hidegs_tpu.raster.preprocess import preprocess_gaussians
+
+    scene = make_toy_gaussians(250, seed=0)
+    cam = ring_camera(0, height=64, width=80)
+    ty, tx = tile_grid(cam.height, cam.width)
+    tb = bin_gaussians(preprocess_gaussians(*scene, cam), ty, tx, 1 << 14)
+    need = int(needed_blocks(tb.tile_count))
+    assert need > 0
+
+    with pltpu.force_tpu_interpret_mode():
+        out_full = render(
+            *scene, cam, config=RasterConfig(backend="pallas", max_instances=1 << 14)
+        )
+        out_fit = render(
+            *scene, cam,
+            config=RasterConfig(
+                backend="pallas", max_instances=1 << 14, max_blocks=need
+            ),
+        )
+        out_tiny = render(
+            *scene, cam,
+            config=RasterConfig(
+                backend="pallas", max_instances=1 << 14, max_blocks=max(need // 2, 1)
+            ),
+        )
+    assert int(out_fit["block_overflow"]) == 0
+    for k in ("render", "invdepth", "alpha", "T_final"):
+        np.testing.assert_allclose(
+            np.array(out_fit[k]), np.array(out_full[k]), atol=1e-6, err_msg=k
+        )
+    assert int(out_tiny["block_overflow"]) > 0
+    assert np.isfinite(np.array(out_tiny["render"])).all()
+
+
+def test_pallas_block_budget_gradients_match():
+    """Gradients with a fitted block budget match the worst-case budget."""
+    scene = make_toy_gaussians(120, seed=1)
+    cam = ring_camera(0, height=48, width=48)
+    target = jnp.zeros((3, 48, 48))
+    from hidegs_tpu.raster.binning import bin_gaussians, tile_grid
+    from hidegs_tpu.raster.pallas_vjp import needed_blocks
+    from hidegs_tpu.raster.preprocess import preprocess_gaussians
+
+    ty, tx = tile_grid(cam.height, cam.width)
+    tb = bin_gaussians(preprocess_gaussians(*scene, cam), ty, tx, 1 << 13)
+    need = int(needed_blocks(tb.tile_count))
+
+    def grads(max_blocks):
+        cfg = RasterConfig(backend="pallas", max_instances=1 << 13, max_blocks=max_blocks)
+
+        def f(means, scales, quats, opac, shs):
+            out = render(means, scales, quats, opac, shs, cam, config=cfg)
+            return jnp.mean((out["render"] - target) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            return jax.grad(f, argnums=(0, 1, 2, 3, 4))(*scene)
+
+    g_full = grads(0)
+    g_fit = grads(need)
+    for a, b in zip(g_full, g_fit):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-6)

@@ -45,7 +45,8 @@ def test_binning_counts_match_rects():
     scene, cam = small_scene()
     pre = preprocess_gaussians(*scene, cam)
     ty, tx = tile_grid(cam.height, cam.width)
-    tb = bin_gaussians(pre, ty, tx, max_instances=1 << 15)
+    # tile_cull off: this test checks the raw rect-expansion counts
+    tb = bin_gaussians(pre, ty, tx, max_instances=1 << 15, tile_cull=False)
     assert int(tb.overflow) == 0
     # every valid instance's tile must be inside the grid, sorted ascending
     tids = np.array(tb.tile_id)
@@ -154,6 +155,36 @@ def test_instance_budget_truncation_still_renders():
     assert np.isfinite(np.array(out["render"])).all()
 
 
+def test_tile_cull_is_exact_and_reduces_instances():
+    """The tile-intersection cull only drops instances whose alpha is below
+    1/255 at every pixel of their tile — those contribute exactly zero, so
+    outputs match to fp-reassociation noise and instance counts shrink."""
+    for seed in range(3):
+        scene, cam = small_scene(n=400, seed=seed)
+        pre = preprocess_gaussians(*scene, cam)
+        ty, tx = tile_grid(cam.height, cam.width)
+        tb_off = bin_gaussians(pre, ty, tx, max_instances=1 << 15, tile_cull=False)
+        tb_on = bin_gaussians(pre, ty, tx, max_instances=1 << 15, tile_cull=True)
+        kept_off = int(tb_off.tile_count.sum())
+        kept_on = int(tb_on.tile_count.sum())
+        assert kept_on < kept_off, (kept_on, kept_off)
+
+        out_off = render(
+            *scene, cam, render_geo=True,
+            config=RasterConfig(max_instances=1 << 15, tile_cull=False),
+        )
+        out_on = render(
+            *scene, cam, render_geo=True,
+            config=RasterConfig(max_instances=1 << 15, tile_cull=True),
+        )
+        for k in ("render", "invdepth", "alpha", "T_final", "rendered_normal",
+                  "rendered_distance"):
+            np.testing.assert_allclose(
+                np.array(out_on[k]), np.array(out_off[k]), atol=2e-5, err_msg=k
+            )
+        np.testing.assert_array_equal(out_on["out_observe"], out_off["out_observe"])
+
+
 def test_quantized_sort_matches_exact():
     scene, cam = small_scene(n=300)
     out_exact = render(*scene, cam, config=RasterConfig(max_instances=1 << 15))
@@ -188,3 +219,26 @@ def test_plane_depth_sign_and_value():
     assert abs(center_depth - 5.0) < 0.05, center_depth
     # distance channel positive where covered
     assert float(out["rendered_distance"][16, 16]) > 0
+
+
+def test_render_coarse_subset_matches_full_on_subset():
+    """render_coarse(indices) equals rendering only those gaussians, and
+    visibility scatters back to full length (reference render_coarse,
+    gaussian_renderer/__init__.py:376-488)."""
+    from hidegs_tpu.raster.api import render_coarse, scatter_subset_visibility
+
+    scene, cam = small_scene(n=200)
+    idx = jnp.arange(0, 200, 2)  # every other gaussian
+    cfg = RasterConfig(max_instances=1 << 14)
+    out_sub = render_coarse(*scene, cam, indices=idx, config=cfg)
+    # reference: manual gather then plain render
+    gathered = tuple(jnp.take(a, idx, axis=0) for a in scene)
+    out_ref = render(*gathered, cam, config=cfg)
+    np.testing.assert_allclose(
+        np.array(out_sub["render"]), np.array(out_ref["render"]), atol=1e-6
+    )
+    vis_full = scatter_subset_visibility(out_sub["visibility"], idx, 200)
+    assert vis_full.shape == (200,)
+    # odd indices were excluded → never visible
+    assert not np.array(vis_full)[1::2].any()
+    assert np.array(vis_full)[::2].sum() == np.array(out_sub["visibility"]).sum()
