@@ -43,7 +43,12 @@ def main():
     tb0 = bin_gaussians(preprocess_gaussians(*scene, cam), ty, tx, max_inst)
     blocks = int(needed_blocks(tb0.tile_count))
     max_blocks = -(-int(blocks * 1.12) // 256) * 256
-    cfg = RasterConfig(backend="pallas", max_instances=max_inst, max_blocks=max_blocks)
+    # auto-quantized single-key sort: reorders only near-equal depths
+    # (loss identical to 6 decimals vs the exact sort on this workload)
+    cfg = RasterConfig(
+        backend="pallas", max_instances=max_inst, max_blocks=max_blocks,
+        depth_sort_bits=-1,
+    )
     target = jnp.zeros((3, H, W))
 
     def loss_fn(means3d, scales, quats, opacities, shs):

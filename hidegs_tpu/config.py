@@ -46,6 +46,9 @@ class PipelineConfig:
 
     antialiasing: bool = True
     raster_backend: str = "jnp"  # "jnp" | "pallas" | "oracle"
+    # -1 = auto-quantized single-key (tile|depth) sort: faster, reorders only
+    # near-equal depths; 0 = exact lexicographic sort (reference order)
+    depth_sort_bits: int = -1
     max_instances: int = 1 << 21
     capacity: int = 0  # gaussian buffer capacity; 0 → auto from init size
     # frequency-regularization debug panels, dumped every N iters to

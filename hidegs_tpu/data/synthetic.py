@@ -70,3 +70,150 @@ def ring_camera(
     R = np.stack([right, down, fwd], axis=0)
     t = -R @ pos
     return make_camera(R, t, fx=focal, fy=focal, height=height, width=width)
+
+
+def make_uav_gaussians(
+    n_ground: int = 20_000,
+    n_structs: int = 24,
+    extent_xy: float = 12.0,
+    seed: int = 0,
+) -> ToyScene:
+    """UAV-nadir-style scene: a high-frequency textured ground sheet plus
+    box-like structures. Plays the role of a WHU/ISPRS-like workload (fine
+    ground texture for the frequency losses, vertical structure for
+    depth/normal terms) — the container ships no real datasets.
+
+    Ground gaussians are thin disks (small z-scale) at z≈0 with a procedural
+    checker+noise albedo; structures are clusters forming walls/roofs.
+    """
+    rng = np.random.default_rng(seed)
+    # ---- ground sheet ----
+    gx = rng.uniform(-extent_xy, extent_xy, n_ground)
+    gy = rng.uniform(-extent_xy, extent_xy, n_ground)
+    gz = rng.normal(0.0, 0.02, n_ground)
+    g_means = np.stack([gx, gy, gz], -1)
+    cell = 2 * extent_xy / np.sqrt(n_ground)  # mean spacing
+    g_scales = np.stack(
+        [rng.uniform(0.8, 1.6, n_ground) * cell,
+         rng.uniform(0.8, 1.6, n_ground) * cell,
+         np.full(n_ground, 0.1 * cell)], -1)
+    g_quats = np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (n_ground, 1))
+    # procedural albedo: checker + two sine octaves + per-splat noise
+    checker = ((np.floor(gx / 1.5) + np.floor(gy / 1.5)) % 2) * 0.25
+    waves = 0.15 * np.sin(3.1 * gx) * np.cos(2.7 * gy) + 0.1 * np.sin(11.0 * gy)
+    base = np.stack([0.35 + checker, 0.45 + waves, 0.3 + 0.2 * checker], -1)
+    g_rgb = np.clip(base + rng.normal(0, 0.08, (n_ground, 3)), 0.02, 0.98)
+    g_opac = rng.uniform(0.7, 0.98, n_ground)
+
+    # ---- structures: boxes of splats (walls + roof) ----
+    s_means, s_scales, s_rgb = [], [], []
+    for _ in range(n_structs):
+        cx_, cy_ = rng.uniform(-0.8 * extent_xy, 0.8 * extent_xy, 2)
+        w, d, h = rng.uniform(0.6, 1.8, 3) * np.array([1, 1, 1.6])
+        col = rng.uniform(0.2, 0.9, 3)
+        m = 160
+        face = rng.integers(0, 5, m)
+        u, v = rng.uniform(-1, 1, (2, m))
+        px = np.where(face == 0, -w, np.where(face == 1, w, u * w))
+        py = np.where(face == 2, -d, np.where(face == 3, d, v * d))
+        pz = np.where(face == 4, h, (rng.uniform(0, 1, m)) * h)
+        pz = np.where(face < 4, rng.uniform(0, 1, m) * h, h)
+        s_means.append(np.stack([cx_ + px, cy_ + py, pz], -1))
+        s_scales.append(np.full((m, 3), 0.12) * rng.uniform(0.7, 1.5, (m, 1)))
+        s_rgb.append(np.clip(col + rng.normal(0, 0.06, (m, 3)), 0.05, 0.95))
+    means = np.concatenate([g_means] + s_means).astype(np.float32)
+    scales = np.concatenate([g_scales] + s_scales).astype(np.float32)
+    rgb = np.concatenate([g_rgb] + s_rgb).astype(np.float32)
+    n = means.shape[0]
+    quats = np.concatenate(
+        [g_quats, np.tile(np.array([1.0, 0, 0, 0]), (n - n_ground, 1))]
+    ).astype(np.float32)
+    opac = np.concatenate(
+        [g_opac, rng.uniform(0.75, 0.98, n - n_ground)]
+    ).astype(np.float32)
+    shs = jnp.zeros((n, NUM_SH_COEFFS, 3)).at[:, 0, :].set(
+        rgb_to_sh_dc(jnp.asarray(rgb))
+    )
+    return ToyScene(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                    jnp.asarray(opac), shs)
+
+
+def nadir_grid_camera(
+    ix: int, iy: int, nx: int, ny: int,
+    extent_xy: float = 12.0, altitude: float = 14.0, tilt: float = 0.12,
+    height: int = 256, width: int = 256, focal: float = None,
+) -> CameraParams:
+    """Camera (ix, iy) of a UAV lawnmower grid: near-nadir, slight alternating
+    tilt (like the reference's UAV captures, 40–65 m altitude README.md:128)."""
+    if focal is None:
+        focal = 0.9 * max(height, width)
+    margin = 0.75
+    x = (-margin + 2 * margin * ix / max(nx - 1, 1)) * extent_xy
+    y = (-margin + 2 * margin * iy / max(ny - 1, 1)) * extent_xy
+    pos = np.array([x, y, altitude])
+    # look mostly straight down (+z is up in scene coords → camera z = -z̑)
+    ang = tilt * (1 if (ix + iy) % 2 == 0 else -1)
+    fwd = np.array([np.sin(ang), 0.02, -np.cos(ang)])
+    fwd /= np.linalg.norm(fwd)
+    up_hint = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up_hint, fwd); right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=0)
+    t = -R @ pos
+    return make_camera(R, t, fx=focal, fy=focal, height=height, width=width)
+
+
+def write_synthetic_colmap_scene(
+    root: str,
+    scene: ToyScene,
+    cams,
+    render_config=None,
+    point_stride: int = 4,
+    jitter_points: float = 0.0,
+    seed: int = 0,
+):
+    """Render `scene` from `cams` and write a COLMAP-layout dataset
+    (sparse/0/*.bin + images/*.png) usable by the trainer CLI, the pipeline
+    driver, and evaluate.py. `point_stride` thins the gaussian centers into
+    the sparse point cloud (COLMAP sparse points are far sparser than the
+    final model); `jitter_points` adds noise like real triangulation error."""
+    import os
+
+    from PIL import Image
+
+    from hidegs_tpu.core.sh import sh_dc_to_rgb
+    from hidegs_tpu.core.transforms import rotmat_to_quat
+    from hidegs_tpu.data import colmap
+    from hidegs_tpu.raster.api import RasterConfig, render
+
+    if render_config is None:
+        render_config = RasterConfig(backend="jnp", max_instances=1 << 18)
+    os.makedirs(os.path.join(root, "sparse", "0"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+
+    H, W = cams[0].height, cams[0].width
+    ccams = {1: colmap.ColmapCamera(
+        1, "PINHOLE", W, H,
+        np.array([float(cams[0].fx), float(cams[0].fy), W / 2, H / 2]))}
+    imgs = {}
+    for i, cam in enumerate(cams, start=1):
+        out = render(*scene, cam, config=render_config)
+        img = np.clip(np.asarray(out["render"]).transpose(1, 2, 0), 0, 1)
+        name = f"v{i:04d}.png"
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(root, "images", name))
+        q = np.asarray(rotmat_to_quat(jnp.asarray(np.asarray(cam.R)[None])))[0]
+        imgs[i] = colmap.ColmapImage(
+            i, q.astype(np.float64), np.asarray(cam.t, np.float64), 1, name,
+            np.zeros((0, 2)), np.zeros((0,), np.int64))
+
+    rng = np.random.default_rng(seed)
+    pts = np.asarray(scene.means3d)[::point_stride].astype(np.float64)
+    if jitter_points:
+        pts = pts + rng.normal(0, jitter_points, pts.shape)
+    cols = np.clip(np.asarray(sh_dc_to_rgb(scene.shs[::point_stride, 0, :])), 0, 1)
+    colmap.write_cameras_binary(ccams, os.path.join(root, "sparse/0/cameras.bin"))
+    colmap.write_images_binary(imgs, os.path.join(root, "sparse/0/images.bin"))
+    colmap.write_points3d_binary(
+        pts, (cols * 255).astype(np.uint8), os.path.join(root, "sparse/0/points3D.bin"))
+    return root

@@ -32,7 +32,8 @@ class RasterConfig:
     backend: str = "jnp"  # "jnp" | "pallas" | "oracle"
     antialias: bool = True
     # 0 = exact lexicographic (tile, depth) sort; >0 = single-key sort with
-    # this many depth-quantization bits (faster, reorders near-equal depths)
+    # this many depth-quantization bits (faster, reorders near-equal depths);
+    # -1 = auto (widest quantization that fits [tile|depth] in an int32 key)
     depth_sort_bits: int = 0
     # exact per-instance tile-intersection cull (bit-identical output; drops
     # instances whose alpha < 1/255 at every pixel of their tile)

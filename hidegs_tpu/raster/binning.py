@@ -109,6 +109,9 @@ def bin_gaussians(
 ) -> TileBinning:
     N = pre.mean2d.shape[0]
     num_tiles = tiles_y * tiles_x
+    if depth_bits < 0:  # auto: widest quantization that fits [tile|depth] in i32
+        depth_bits = max(31 - int(num_tiles + 1).bit_length(), 0)
+    depth_bits = min(depth_bits, 23)  # beyond f32-mantissa-ish grain is noise
     x0, y0, x1, y1 = compute_tile_rects(pre.mean2d, pre.radius, tiles_y, tiles_x, tile)
     w = (x1 - x0).astype(jnp.int32)
     h = (y1 - y0).astype(jnp.int32)

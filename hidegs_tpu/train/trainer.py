@@ -84,7 +84,8 @@ def train_config_from_opt(opt: OptimizationConfig, pipe: PipelineConfig, n_init:
             percent_dense=opt.percent_dense,
         ),
         raster=RasterConfig(backend=pipe.raster_backend, max_instances=max_inst,
-                            antialias=pipe.antialiasing),
+                            antialias=pipe.antialiasing,
+                            depth_sort_bits=pipe.depth_sort_bits),
     )
 
 

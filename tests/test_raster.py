@@ -242,3 +242,17 @@ def test_render_coarse_subset_matches_full_on_subset():
     # odd indices were excluded → never visible
     assert not np.array(vis_full)[1::2].any()
     assert np.array(vis_full)[::2].sum() == np.array(out_sub["visibility"]).sum()
+
+
+def test_auto_depth_bits_close_to_exact():
+    """depth_sort_bits=-1 picks a valid quantization for any grid size and
+    only reorders near-equal depths (pixel diffs within blend tolerance)."""
+    scene, cam = small_scene(n=300)
+    out_exact = render(*scene, cam, config=RasterConfig(max_instances=1 << 15))
+    out_auto = render(
+        *scene, cam,
+        config=RasterConfig(max_instances=1 << 15, depth_sort_bits=-1),
+    )
+    np.testing.assert_allclose(
+        np.array(out_auto["render"]), np.array(out_exact["render"]), atol=2e-3
+    )
