@@ -59,12 +59,12 @@ def main():
     tb0 = B.bin_gaussians(pre0, tiles_y, tiles_x, MAXI)
     num_blocks = -(-int(needed_blocks(tb0.tile_count)) * 112 // 100 // 256) * 256
     print(f"block budget {num_blocks} (worst {(MAXI + num_tiles * CHUNK) // CHUNK})")
-    cfg = RasterConfig(backend="pallas", max_instances=MAXI, max_blocks=num_blocks)
+    cfg = RasterConfig(backend="pallas", max_instances=MAXI, max_blocks=num_blocks, depth_sort_bits=-1)
 
     pre_fn = jax.jit(
         lambda m, s, q, o, c: preprocess_gaussians(m, s, q, o, c, cam)
     )
-    bin_fn = jax.jit(lambda pre: B.bin_gaussians(pre, tiles_y, tiles_x, MAXI))
+    bin_fn = jax.jit(lambda pre: B.bin_gaussians(pre, tiles_y, tiles_x, MAXI, depth_bits=-1))
     tables_fn = jax.jit(
         lambda tb: window_tables(tb.tile_start, tb.tile_count, num_blocks, MAXI)
     )
@@ -84,13 +84,12 @@ def main():
     tile_out = timeit("blend fwd kernel (windowed DMA)", fwd_fn, attrs, tables)
 
     g_tiles = jnp.ones_like(tile_out[0])
-    gt = jnp.ones_like(tile_out[0])
     bwd_fn = jax.jit(
-        lambda attrs, tables, g, gt: blend_tiles_pallas_bwd(
-            attrs, tables, g, gt, tiles_y, tiles_x, 16, num_blocks, N
+        lambda attrs, tables, g: blend_tiles_pallas_bwd(
+            attrs, tables, g, tiles_y, tiles_x, 16, num_blocks, N
         )
     )
-    d_inst = timeit("blend bwd kernel (windowed DMA)", bwd_fn, attrs, tables, g_tiles, gt)
+    d_inst = timeit("blend bwd kernel (windowed DMA)", bwd_fn, attrs, tables, g_tiles)
 
     seg_fn = jax.jit(
         lambda d: jax.ops.segment_sum(

@@ -58,8 +58,7 @@ from hidegs_tpu.raster.pallas_blend import (
 def _passB_kernel(
     tile_of_ref, first_ref, nvalid_ref, win_start_ref,
     attrs_ref,  # (ATTR, I+2*CHUNK) in HBM; windows DMA'd manually
-    g_ref,  # (1, P, OUT_CH) cotangents of this block's tile
-    gt_ref,  # (1, P, OUT_CH) per-tile totals (ch0 = G_total, ch1 = T_final·gT)
+    g_ref,  # (1, P, OUT_CH) cotangents; aux ch10 = G_total, ch11 = T_final·gT
     d_ref,  # (ATTR, CHUNK) out — gradient block (unique per b)
     T_carry,  # (P, 1) scratch
     R_carry,  # (P, 1) scratch: running prefix of w·chg
@@ -107,14 +106,12 @@ def _passB_kernel(
 
         g = g_ref[0]
         col = jax.lax.broadcasted_iota(jnp.int32, (P, OUT_CH), 1)
-        g_ch = jnp.where(col == 9, 0.0, g)
+        g_ch = jnp.where((col == 9) | (col >= 10), 0.0, g)
         ch = _block_channels(a, q["in_range"])
         chg = jnp.dot(g_ch, ch, preferred_element_type=jnp.float32)  # (P, CHUNK)
 
-        gt = gt_ref[0]
-        G_total = gt[:, 0:1]
-        T_final = gt[:, 1:2]
-        S_base = T_final * g[:, 9:10]
+        G_total = g[:, 10:11]
+        S_base = g[:, 11:12]
 
         contrib = w * chg
         prefix_incl = R_carry[:] + jnp.dot(
@@ -165,8 +162,7 @@ def _passB_kernel(
 def blend_tiles_pallas_bwd(
     attrs: jnp.ndarray,  # (ATTR, I + 2*CHUNK) depth-sorted
     tables: WindowTables,
-    g_tiles: jnp.ndarray,  # (T, P, OUT_CH) cotangents
-    gt: jnp.ndarray,  # (T, P, OUT_CH): ch0 = G_total, ch1 = T_final
+    g_tiles: jnp.ndarray,  # (T, P, OUT_CH) cotangents + aux totals (ch10/ch11)
     tiles_y: int,
     tiles_x: int,
     tile: int = 16,
@@ -185,7 +181,6 @@ def blend_tiles_pallas_bwd(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, P, OUT_CH), lambda b, tof, f, nv, ws: (tof[b], 0, 0)),
-            pl.BlockSpec((1, P, OUT_CH), lambda b, tof, f, nv, ws: (tof[b], 0, 0)),
         ],
         out_specs=pl.BlockSpec((ATTR, CHUNK), lambda b, tof, f, nv, ws: (0, b)),
         scratch_shapes=[
@@ -200,7 +195,7 @@ def blend_tiles_pallas_bwd(
         grid_spec=gridB,
         out_shape=jax.ShapeDtypeStruct((ATTR, num_blocks * CHUNK), jnp.float32),
     )(tables.tile_of, tables.first, tables.nvalid, tables.win_start,
-      attrs, g_tiles, gt)
+      attrs, g_tiles)
 
 
 # ------------------------------------------------------------- custom VJP
@@ -266,13 +261,16 @@ def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, res, cts):
     attrs, tables, fwd_out, N, num_blocks = res
     col = jnp.arange(OUT_CH)
     g_ch = jnp.where(col[None, None, :] == 9, 0.0, g_tiles)
+    # per-tile totals ride the unused cotangent channels: ch10 = G_total
+    # (Σ_ch out·g — the forward output IS the per-channel total), ch11 =
+    # T_final·g_T. One (T,P,16) stream into the kernel instead of two.
     G_total = jnp.sum(fwd_out * g_ch, axis=-1, keepdims=True)  # (T, P, 1)
-    T_final = fwd_out[..., 9:10]
-    gt = jnp.concatenate(
-        [G_total, T_final, jnp.zeros_like(fwd_out[..., : OUT_CH - 2])], axis=-1
+    S_base = fwd_out[..., 9:10] * g_tiles[..., 9:10]
+    g_aug = jnp.concatenate(
+        [g_tiles[..., :10], G_total, S_base, g_tiles[..., 12:]], axis=-1
     )
     d_inst = blend_tiles_pallas_bwd(
-        attrs, tables, g_tiles, gt, tiles_y, tiles_x, tile, num_blocks, sentinel=N
+        attrs, tables, g_aug, tiles_y, tiles_x, tile, num_blocks, sentinel=N
     )  # (ATTR, B*CHUNK); padding lanes: zero grads + sentinel ids
     seg = d_inst[GID_CH].astype(jnp.int32)
     d_rows = d_inst[:GID_CH].T  # (B*CHUNK, GID_CH)
