@@ -34,20 +34,25 @@ def main():
 
     scene = make_toy_gaussians(N_GAUSSIANS, seed=0)
     cam = ring_camera(0, height=H, width=W)
-    # instance budget sized to the workload (~221k rect instances measured);
-    # block budget sized to the actual post-cull load (one eager binning
-    # pass), +12% headroom rounded to 256 — the trainer uses the same
-    # re-budgeting policy via the block_overflow output
-    max_inst = 1 << 18
-    ty, tx = tile_grid(H, W)
-    tb0 = bin_gaussians(preprocess_gaussians(*scene, cam), ty, tx, max_inst)
+    # 32px tiles: ~4x fewer Pallas grid steps and ~2.4x fewer tile instances
+    # than the reference's 16 on this workload, identical output
+    # (benchmarks/tile_sweep.py; docs/BENCHMARKS.md)
+    tile = 32
+    # instance budget fitted to the PRE-cull rect expansion (+12%, pow2);
+    # block budget fitted to the post-cull load (+12%, 256-aligned) — the
+    # trainer applies the same policy via the overflow/block_overflow outputs
+    ty, tx = tile_grid(H, W, tile)
+    probe = 1 << 20
+    tb0 = bin_gaussians(preprocess_gaussians(*scene, cam), ty, tx, probe, tile)
+    assert int(tb0.overflow) == 0
+    max_inst = 1 << (int(int(tb0.num_instances) * 1.12) - 1).bit_length()
     blocks = int(needed_blocks(tb0.tile_count))
     max_blocks = -(-int(blocks * 1.12) // 256) * 256
     # auto-quantized single-key sort: reorders only near-equal depths
     # (loss identical to 6 decimals vs the exact sort on this workload)
     cfg = RasterConfig(
-        backend="pallas", max_instances=max_inst, max_blocks=max_blocks,
-        depth_sort_bits=-1,
+        backend="pallas", tile=tile, max_instances=max_inst,
+        max_blocks=max_blocks, depth_sort_bits=-1,
     )
     target = jnp.zeros((3, H, W))
 

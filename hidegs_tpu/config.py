@@ -49,6 +49,11 @@ class PipelineConfig:
     # -1 = auto-quantized single-key (tile|depth) sort: faster, reorders only
     # near-equal depths; 0 = exact lexicographic sort (reference order)
     depth_sort_bits: int = -1
+    # raster tile side in pixels. The reference hardcodes 16 (config.h:16-17);
+    # on TPU bigger tiles cut Pallas grid steps and instance duplication —
+    # 32 wins ~20%+ fwd+bwd on the config-1 workload with identical output
+    # (benchmarks/tile_sweep.py, docs/BENCHMARKS.md)
+    tile: int = 32
     max_instances: int = 1 << 21
     capacity: int = 0  # gaussian buffer capacity; 0 → auto from init size
     # frequency-regularization debug panels, dumped every N iters to

@@ -99,7 +99,8 @@ def main(argv=None):
         it = find_latest_iteration(ckpt_root)
     ply = os.path.join(ckpt_root, f"iteration_{it}", "point_cloud.ply")
     arrays = load_gaussian_state_from_ply(ply)
-    cfg = RasterConfig(backend=pipe_cfg.raster_backend, max_instances=pipe_cfg.max_instances)
+    cfg = RasterConfig(backend=pipe_cfg.raster_backend, tile=pipe_cfg.tile,
+                       max_instances=pipe_cfg.max_instances)
 
     lpips_fn = None
     if args.lpips_weights:

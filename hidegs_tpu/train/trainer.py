@@ -84,7 +84,7 @@ def train_config_from_opt(opt: OptimizationConfig, pipe: PipelineConfig, n_init:
             percent_dense=opt.percent_dense,
         ),
         raster=RasterConfig(backend=pipe.raster_backend, max_instances=max_inst,
-                            antialias=pipe.antialiasing,
+                            antialias=pipe.antialiasing, tile=pipe.tile,
                             depth_sort_bits=pipe.depth_sort_bits),
     )
 
@@ -238,7 +238,8 @@ def train(
         from hidegs_tpu.raster.pallas_blend import CHUNK
 
         num_tiles = max(
-            tile_grid(c.height, c.width)[0] * tile_grid(c.height, c.width)[1]
+            tile_grid(c.height, c.width, pipe_cfg.tile)[0]
+            * tile_grid(c.height, c.width, pipe_cfg.tile)[1]
             for c in scene.train_cameras
         )
         worst = cfg.raster.max_instances // CHUNK + num_tiles

@@ -9,22 +9,27 @@ from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
 from hidegs_tpu.raster.api import RasterConfig, render
 
 
-def render_both(n=250, h=64, w=80, seed=0, geo=True):
+def render_both(n=250, h=64, w=80, seed=0, geo=True, tile=16):
     scene = make_toy_gaussians(n, seed=seed)
     cam = ring_camera(0, height=h, width=w)
     out_jnp = render(
-        *scene, cam, render_geo=geo, config=RasterConfig(backend="jnp", max_instances=1 << 14)
+        *scene, cam, render_geo=geo,
+        config=RasterConfig(backend="jnp", max_instances=1 << 14, tile=tile),
     )
     with pltpu.force_tpu_interpret_mode():
         out_pl = render(
             *scene, cam, render_geo=geo,
-            config=RasterConfig(backend="pallas", max_instances=1 << 14),
+            config=RasterConfig(backend="pallas", max_instances=1 << 14, tile=tile),
         )
     return out_jnp, out_pl
 
 
-def test_pallas_forward_matches_jnp():
-    out_jnp, out_pl = render_both()
+@pytest.mark.parametrize("tile", [16, 32])
+def test_pallas_forward_matches_jnp(tile):
+    # tile=32 is the production default (config.PipelineConfig.tile); tile=16
+    # is the reference's block size (config.h:16-17) — both must agree with
+    # the segmented jnp oracle
+    out_jnp, out_pl = render_both(tile=tile)
     for key in ["render", "invdepth", "alpha", "T_final", "rendered_normal", "rendered_distance"]:
         np.testing.assert_allclose(
             np.array(out_pl[key]), np.array(out_jnp[key]), atol=3e-4, rtol=1e-3,
@@ -37,14 +42,15 @@ def test_pallas_forward_matches_jnp():
     )
 
 
-def test_pallas_gradients_match_jnp():
+@pytest.mark.parametrize("tile", [16, 32])
+def test_pallas_gradients_match_jnp(tile):
     scene = make_toy_gaussians(120, seed=1)
     cam = ring_camera(0, height=48, width=48)
     target = jnp.zeros((3, 48, 48))
     bg = jnp.array([0.3, 0.2, 0.1])
 
     def loss_fn(backend):
-        cfg = RasterConfig(backend=backend, max_instances=1 << 13)
+        cfg = RasterConfig(backend=backend, max_instances=1 << 13, tile=tile)
 
         def f(means, scales, quats, opac, shs):
             out = render(means, scales, quats, opac, shs, cam, background=bg, config=cfg)
