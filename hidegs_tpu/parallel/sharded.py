@@ -10,10 +10,11 @@ views".
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hidegs_tpu.model.adam import masked_adam_update
@@ -21,10 +22,22 @@ from hidegs_tpu.model.schedules import expon_lr, lr_tree
 from hidegs_tpu.train.loop import TrainConfig, TrainState, ViewBatch, compute_losses
 
 
-def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, use_exposure: bool = False):
+def make_dp_train_step(
+    cfg: TrainConfig,
+    mesh: Mesh,
+    use_exposure: bool = False,
+    grad_reduce_dtype: Optional[jnp.dtype] = None,
+):
     """Build a jitted view-parallel step. `batch` is a ViewBatch whose leaves
     carry a leading view axis V (= mesh 'data' size). Returns
-    (step(ts, batch) → (ts, metrics), place(ts, batch) → sharded copies)."""
+    (step(ts, batch) → (ts, metrics), place(ts, batch) → sharded copies).
+
+    `grad_reduce_dtype` (e.g. jnp.bfloat16) compresses the per-view gradient
+    all-reduce wire format (SURVEY §7.3 #7: up to 6M×59 floats per step —
+    halving it matters on DCN across slices). Implemented as an explicit
+    shard_map over the 'data' axis: local per-view grads are cast down,
+    psum'd in the compressed dtype, and promoted back to f32 for Adam.
+    None keeps the default implicit-GSPMD f32 reduction."""
 
     repl = NamedSharding(mesh, P())
     shard_view = NamedSharding(mesh, P("data"))
@@ -37,18 +50,61 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, use_exposure: bool = False)
         view_rngs = jax.random.split(sub, V)
         offsets = jnp.zeros((V, C, 2), jnp.float32)
 
-        def loss_mean(params, exposure, offs):
+        def loss_mean(params, exposure, offs, local_batch, local_rngs):
             def one(off, b, r):
                 g = ts.gaussians._replace(params=params)
                 return compute_losses(g, exposure, b, ts.step, r, cfg, off, use_exposure)
 
-            totals, auxs = jax.vmap(one)(offs, batch, view_rngs)
-            return jnp.mean(totals), auxs
+            totals, auxs = jax.vmap(one)(offs, local_batch, local_rngs)
+            # sum/V (not a local mean): each shard contributes its share of
+            # the global mean so the cross-device grad psum needs no rescale
+            return jnp.sum(totals) / V, auxs
 
-        (loss, auxs), grads = jax.value_and_grad(loss_mean, argnums=(0, 1, 2), has_aux=True)(
-            ts.gaussians.params, ts.exposure, offsets
-        )
-        param_grads, expo_grads, screen_grads = grads
+        if grad_reduce_dtype is None:
+            (loss, auxs), grads = jax.value_and_grad(
+                loss_mean, argnums=(0, 1, 2), has_aux=True
+            )(ts.gaussians.params, ts.exposure, offsets, batch, view_rngs)
+            param_grads, expo_grads, screen_grads = grads
+        else:
+
+            def local_grads(gaussians, step_no, exposure, offs, local_batch, local_rngs):
+                # everything the loss closure touches is an explicit arg:
+                # arrays captured by closure can't cross the shard_map
+                # (Manual-mesh) boundary with their committed shardings
+                def loss_local(params, expo, off_l):
+                    def one(off, b, r):
+                        g = gaussians._replace(params=params)
+                        return compute_losses(
+                            g, expo, b, step_no, r, cfg, off, use_exposure
+                        )
+
+                    totals, auxs = jax.vmap(one)(off_l, local_batch, local_rngs)
+                    return jnp.sum(totals) / V, auxs
+
+                (loss_l, auxs_l), grads_l = jax.value_and_grad(
+                    loss_local, argnums=(0, 1, 2), has_aux=True
+                )(gaussians.params, exposure, offs)
+                p_g, e_g, s_g = grads_l
+                down = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(grad_reduce_dtype), t
+                )
+                up = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32), t
+                )
+                # compressed-wire all-reduce of the replicated-param grads;
+                # screen grads stay per-view (local), no reduction needed
+                p_g = up(jax.lax.psum(down(p_g), "data"))
+                e_g = up(jax.lax.psum(down(e_g), "data"))
+                loss_g = jax.lax.psum(loss_l, "data")
+                return loss_g, auxs_l, p_g, e_g, s_g
+
+            loss, auxs, param_grads, expo_grads, screen_grads = shard_map(
+                local_grads,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
+                out_specs=(P(), P("data"), P(), P(), P("data")),
+                check_vma=False,
+            )(ts.gaussians, ts.step, ts.exposure, offsets, batch, view_rngs)
 
         visible_any = jnp.any(auxs["visibility"], axis=0)
         lrs = lr_tree(ts.step, cfg.lr, ts.gaussians.spatial_lr_scale)

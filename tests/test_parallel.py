@@ -151,3 +151,43 @@ def test_band_parallel_step_over_mesh():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_dp_bf16_grad_reduction_matches_f32():
+    """The compressed-wire (bf16 psum via shard_map) step tracks the implicit
+    f32-GSPMD step closely: same first-step update direction, loss converges.
+    (SURVEY §7.3 #7 — grad compression for the cross-slice reduce.)"""
+    cams, gts, state = setup()
+    mesh = make_mesh(8, data=8, model=1)
+    cfg = TrainConfig(iterations=100, raster=RCFG, freq_warmup=10_000, single_view_weight=0.0)
+    step32, place = make_dp_train_step(cfg, mesh)
+    step16, _ = make_dp_train_step(cfg, mesh, grad_reduce_dtype=jnp.bfloat16)
+    batch = stack_view_batches(
+        [ViewBatch(cam=cams[i], image=gts[i], image_idx=jnp.int32(i)) for i in range(8)]
+    )
+    # steps donate their input state, and device_put may alias on CPU — give
+    # each step its own deep copy and snapshot xyz before stepping
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), t)
+    ts0 = init_train_state(state, num_images=8)
+    ts0b = copy(ts0)
+    ts0, batch = place(ts0, batch)
+    xyz0 = np.array(ts0.gaussians.params.xyz)
+    a, ma = step32(ts0, batch)
+    ts0b, _ = place(ts0b, batch)
+    b, mb = step16(ts0b, batch)
+    assert np.isfinite(float(mb["loss"]))
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-4)
+    da = np.array(a.gaussians.params.xyz) - xyz0
+    db = np.array(b.gaussians.params.xyz) - xyz0
+    # Adam normalizes magnitudes, so compare update directions where moved
+    moved = (np.abs(da).max(-1) > 0) | (np.abs(db).max(-1) > 0)
+    num = (da[moved] * db[moved]).sum()
+    den = np.linalg.norm(da[moved]) * np.linalg.norm(db[moved]) + 1e-12
+    assert num / den > 0.99, num / den
+    # and the bf16 step trains: loss decreases over a few steps
+    losses = [float(mb["loss"])]
+    ts = b
+    for _ in range(15):
+        ts, m = step16(ts, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] - 0.003, losses
