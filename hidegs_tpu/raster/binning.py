@@ -67,6 +67,50 @@ def compute_tile_rects(
     return x0, y0, x1, y1
 
 
+def compute_tight_rects(
+    mean2d: jnp.ndarray,
+    conic: jnp.ndarray,
+    opacity: jnp.ndarray,
+    radius: jnp.ndarray,
+    tiles_y: int,
+    tiles_x: int,
+    tile: int = TILE,
+):
+    """Per-axis, opacity-aware tile rectangle.
+
+    The reference rect is the AABB of the 3·√λmax CIRCLE (forward.cu:379-398)
+    — isotropic, so anisotropic splats touch up to ~λmax/λmin more tiles than
+    they can ever color. Every blend path drops contributions with
+    α = op·exp(−q) < 1/255 (forward.cu:558, our keep masks), so the true
+    support along axis u is |d_u| ≤ √(2·B·Σ_uu) with B = ln(op·255): the
+    axis-aligned extent of the level set q ≤ B (Σ_uu from the conic inverse).
+    Instances outside contribute exactly zero ⇒ bit-identical images with a
+    much smaller PRE-cull expansion — which is what sizes the instance
+    budget, the sort, and the gather streams.
+    """
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    det = jnp.maximum(ca * cc - cb * cb, 1e-12)
+    # +1e-3 slack mirrors the exact-cull's fp-roundoff margin
+    B = jnp.log(jnp.maximum(opacity, 1e-12) * (1.0 / ALPHA_MIN)) + 1e-3
+    live = (radius > 0) & (B > 0)
+    B = jnp.maximum(B, 0.0)
+    rx = jnp.sqrt(2.0 * B * cc / det)
+    ry = jnp.sqrt(2.0 * B * ca / det)
+    # never wider than the reference circle (guards degenerate conics)
+    r = radius.astype(jnp.float32)
+    rx = jnp.minimum(rx, r)
+    ry = jnp.minimum(ry, r)
+    x0 = jnp.clip(((mean2d[:, 0] - rx) / tile).astype(jnp.int32), 0, tiles_x)
+    y0 = jnp.clip(((mean2d[:, 1] - ry) / tile).astype(jnp.int32), 0, tiles_y)
+    x1 = jnp.clip(jnp.ceil((mean2d[:, 0] + rx) / tile).astype(jnp.int32), 0, tiles_x)
+    y1 = jnp.clip(jnp.ceil((mean2d[:, 1] + ry) / tile).astype(jnp.int32), 0, tiles_y)
+    x0 = jnp.where(live, x0, 0)
+    y0 = jnp.where(live, y0, 0)
+    x1 = jnp.where(live, jnp.maximum(x1, x0), 0)
+    y1 = jnp.where(live, jnp.maximum(y1, y0), 0)
+    return x0, y0, x1, y1
+
+
 def _tile_min_quadratic(lo_x, hi_x, lo_y, hi_y, ca, cb, cc):
     """Exact min of q(d) = ½(ca·dx² + cc·dy²) + cb·dx·dy over the box
     [lo_x,hi_x]×[lo_y,hi_y] (q = −power of the splat).
@@ -95,7 +139,8 @@ def _tile_min_quadratic(lo_x, hi_x, lo_y, hi_y, ca, cb, cc):
 @partial(
     jax.jit,
     static_argnames=(
-        "tiles_y", "tiles_x", "max_instances", "tile", "depth_bits", "tile_cull"
+        "tiles_y", "tiles_x", "max_instances", "tile", "depth_bits", "tile_cull",
+        "tight_rects",
     ),
 )
 def bin_gaussians(
@@ -106,13 +151,21 @@ def bin_gaussians(
     tile: int = TILE,
     depth_bits: int = 0,
     tile_cull: bool = True,
+    tight_rects: bool = True,
 ) -> TileBinning:
     N = pre.mean2d.shape[0]
     num_tiles = tiles_y * tiles_x
     if depth_bits < 0:  # auto: widest quantization that fits [tile|depth] in i32
         depth_bits = max(31 - int(num_tiles + 1).bit_length(), 0)
     depth_bits = min(depth_bits, 23)  # beyond f32-mantissa-ish grain is noise
-    x0, y0, x1, y1 = compute_tile_rects(pre.mean2d, pre.radius, tiles_y, tiles_x, tile)
+    if tight_rects:
+        x0, y0, x1, y1 = compute_tight_rects(
+            pre.mean2d, pre.conic, pre.opacity, pre.radius, tiles_y, tiles_x, tile
+        )
+    else:
+        x0, y0, x1, y1 = compute_tile_rects(
+            pre.mean2d, pre.radius, tiles_y, tiles_x, tile
+        )
     w = (x1 - x0).astype(jnp.int32)
     h = (y1 - y0).astype(jnp.int32)
     touched = jnp.where(pre.visible, w * h, 0)
