@@ -34,6 +34,7 @@ def run_pipeline(
     skybox_num: int = 0,
     add_far_cams: bool = True,
     log_every: int = 200,
+    eval_taus=(0.0, 3.0, 6.0, 15.0),
 ):
     """Returns the path of the merged global hierarchy."""
     import jax.numpy as jnp
@@ -139,6 +140,17 @@ def run_pipeline(
         write_hier(os.path.join(output_path, "merged_opt.hier"), hierarchy_from_state(ts, h))
         print(f"[pipeline] post-optimized hierarchy → merged_opt.hier", flush=True)
 
+    # ---- 5. LOD render evaluation (render_post flow, §3.4) --------------
+    lod_report = evaluate_lod(
+        os.path.join(output_path, "merged_opt.hier")
+        if post_opt_iterations > 0 else merged_path,
+        source_path, resolution=resolution, backend=backend,
+        max_instances=max_instances, taus=eval_taus,
+    )
+    for row in lod_report:
+        print(f"[pipeline] LOD tau={row['tau']}: cut={row['mean_cut']:.0f} "
+              f"gaussians, PSNR={row['psnr']:.2f}", flush=True)
+
     with open(os.path.join(output_path, "pipeline.json"), "w") as f:
         json.dump(
             {
@@ -146,12 +158,70 @@ def run_pipeline(
                 "merged": merged_path,
                 "num_points": int(merged.num_points),
                 "num_nodes": int(merged.num_nodes),
+                "lod_eval": lod_report,
                 "seconds": time.time() - t0,
             },
             f,
             indent=1,
         )
     return merged_path
+
+
+def evaluate_lod(
+    hier_path: str,
+    source_path: str,
+    resolution: int = -1,
+    backend: str = "jnp",
+    max_instances: int = 1 << 18,
+    taus=(0.0, 3.0, 6.0, 15.0),
+    max_views: int = 8,
+):
+    """Render the global hierarchy at several granularities (`tau`, the
+    projected node-size threshold of expand_to_size — 0 = full detail) and
+    report PSNR + mean cut size per tau, the render_post evaluation flow
+    (reference §3.4; h3dgs render_hierarchy.py pattern)."""
+    import jax.numpy as jnp
+
+    from hidegs_tpu.data.scene import load_scene
+    from hidegs_tpu.hier.interp import render_hierarchy
+    from hidegs_tpu.hier.io import read_hier
+    from hidegs_tpu.hier.lod import expand_to_size
+    from hidegs_tpu.raster.api import RasterConfig
+    from hidegs_tpu.train.losses import psnr
+
+    h = read_hier(hier_path)
+    P = int(h.num_points)
+    budget = 1 << max(int(np.ceil(np.log2(max(P, 2)))), 10)
+    arrays = (
+        jnp.asarray(h.pos), jnp.exp(jnp.asarray(h.scale)),
+        jnp.asarray(h.rot), jnp.asarray(h.alpha), jnp.asarray(h.shs),
+    )
+    nodes, boxes = jnp.asarray(h.nodes), jnp.asarray(h.boxes)
+    scene = load_scene(source_path, resolution=resolution, cache_all=False)
+    n_views = min(len(scene.train_cameras), max_views)
+    cfg = RasterConfig(backend=backend, max_instances=max_instances)
+    report = []
+    for tau in taus:
+        psnrs, cuts = [], []
+        for i in range(n_views):
+            cam = scene.train_cameras[i]
+            cp = cam.cam_params()
+            cut = expand_to_size(
+                nodes, boxes, float(tau), cp.camera_center, budget=budget,
+                num_points=P,
+            )
+            out = render_hierarchy(cut, *arrays, cp, config=cfg)
+            img = jnp.clip(out["render"], 0.0, 1.0)
+            psnrs.append(float(psnr(img, jnp.asarray(cam.image))))
+            cuts.append(int(cut.valid.sum()))
+        report.append(
+            {
+                "tau": float(tau),
+                "psnr": float(np.mean(psnrs)),
+                "mean_cut": float(np.mean(cuts)),
+            }
+        )
+    return report
 
 
 def main(argv=None):
@@ -167,6 +237,7 @@ def main(argv=None):
     ap.add_argument("--backend", default="jnp")
     ap.add_argument("--resolution", type=int, default=-1)
     ap.add_argument("--skybox_num", type=int, default=0)
+    ap.add_argument("--eval_taus", type=float, nargs="*", default=[0.0, 3.0, 6.0, 15.0])
     args = ap.parse_args(argv)
     run_pipeline(
         args.source_path, args.output_path,
@@ -174,6 +245,7 @@ def main(argv=None):
         iterations=args.iterations, post_opt_iterations=args.post_opt_iterations,
         capacity=args.capacity, max_instances=args.max_instances,
         backend=args.backend, resolution=args.resolution, skybox_num=args.skybox_num,
+        eval_taus=tuple(args.eval_taus),
     )
 
 
