@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--grid", type=int, nargs=2, default=[6, 5])
     ap.add_argument("--n-ground", type=int, default=20_000)
     ap.add_argument("--capacity", type=int, default=1 << 17)
+    # densify thresholds: the reference's 0.015/0.0008 are calibrated for its
+    # ~1.6K real captures; on this sharp synthetic checker at 512 they
+    # over-fire (first 30k run saturated capacity by step 3000 and the loss
+    # collapsed 0.08 -> 0.5). Scale with resolution.
+    ap.add_argument("--densify-grad-threshold", type=float, default=0.04)
+    ap.add_argument("--densify-abs-grad-threshold", type=float, default=0.002)
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--out", default="docs/quality_uav_r1.json")
     args = ap.parse_args()
@@ -73,7 +79,9 @@ def main():
         "--raster_backend", "pallas",
         "--iterations", str(args.iterations),
         "--capacity", str(args.capacity),
-        "--save_iterations", "7000", str(args.iterations),
+        "--densify_grad_threshold", str(args.densify_grad_threshold),
+        "--densify_abs_grad_threshold", str(args.densify_abs_grad_threshold),
+        "--save_iterations", "7000", "15000", str(args.iterations),
     ])
 
     from hidegs_tpu import evaluate
