@@ -24,9 +24,17 @@ from hidegs_tpu.raster.pallas_blend import (
 from hidegs_tpu.raster.pallas_vjp import blend_packed, blend_tiles_pallas_bwd
 from hidegs_tpu.raster.preprocess import preprocess_gaussians
 
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--tile", type=int, default=32)
+_ap.add_argument("--maxi", type=int, default=1 << 17)
+_ARGS = _ap.parse_args()
+
 N = 10_000
 H = W = 800
-MAXI = 1 << 18
+TILE = _ARGS.tile
+MAXI = _ARGS.maxi
 ITERS = 20
 
 
@@ -49,22 +57,22 @@ def main():
     target = jnp.zeros((3, H, W))
     means3d, scales, quats, opacities, shs = scene
 
-    tiles_y, tiles_x = B.tile_grid(H, W)
+    tiles_y, tiles_x = B.tile_grid(H, W, TILE)
     num_tiles = tiles_y * tiles_x
     # fitted block budget (same policy as bench.py); worst case would be
     # (MAXI + num_tiles * CHUNK) // CHUNK
     from hidegs_tpu.raster.pallas_vjp import needed_blocks
 
     pre0 = preprocess_gaussians(*scene, cam)
-    tb0 = B.bin_gaussians(pre0, tiles_y, tiles_x, MAXI)
+    tb0 = B.bin_gaussians(pre0, tiles_y, tiles_x, MAXI, TILE)
     num_blocks = -(-int(needed_blocks(tb0.tile_count)) * 112 // 100 // 256) * 256
     print(f"block budget {num_blocks} (worst {(MAXI + num_tiles * CHUNK) // CHUNK})")
-    cfg = RasterConfig(backend="pallas", max_instances=MAXI, max_blocks=num_blocks, depth_sort_bits=-1)
+    cfg = RasterConfig(backend="pallas", tile=TILE, max_instances=MAXI, max_blocks=num_blocks, depth_sort_bits=-1)
 
     pre_fn = jax.jit(
         lambda m, s, q, o, c: preprocess_gaussians(m, s, q, o, c, cam)
     )
-    bin_fn = jax.jit(lambda pre: B.bin_gaussians(pre, tiles_y, tiles_x, MAXI, depth_bits=-1))
+    bin_fn = jax.jit(lambda pre: B.bin_gaussians(pre, tiles_y, tiles_x, MAXI, TILE, depth_bits=-1))
     tables_fn = jax.jit(
         lambda tb: window_tables(tb.tile_start, tb.tile_count, num_blocks, MAXI)
     )
@@ -72,7 +80,7 @@ def main():
     expand_fn = jax.jit(expand_to_instances)
     fwd_fn = jax.jit(
         lambda attrs, tables: blend_tiles_pallas_fwd(
-            attrs, tables, tiles_y, tiles_x, 16, num_blocks, N
+            attrs, tables, tiles_y, tiles_x, TILE, num_blocks, N
         )
     )
 
@@ -111,7 +119,7 @@ def main():
 
     def core_loss(packed, tb):
         out, _ = blend_packed(
-            packed, tb.gauss_id, tb.tile_start, tb.tile_count, tiles_y, tiles_x, 16,
+            packed, tb.gauss_id, tb.tile_start, tb.tile_count, tiles_y, tiles_x, TILE,
             num_blocks,
         )
         return jnp.sum(out)

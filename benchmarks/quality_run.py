@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--densify-abs-grad-threshold", type=float, default=0.002)
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--out", default="docs/quality_uav_r1.json")
+    ap.add_argument("--train-arg", action="append", default=[],
+                    help="extra trainer flags, e.g. --train-arg=--densify_until_iter=7500")
     args = ap.parse_args()
 
     if args.fresh and os.path.isdir(args.data):
@@ -82,7 +84,7 @@ def main():
         "--densify_grad_threshold", str(args.densify_grad_threshold),
         "--densify_abs_grad_threshold", str(args.densify_abs_grad_threshold),
         "--save_iterations", "7000", "15000", str(args.iterations),
-    ])
+    ] + [a for extra in args.train_arg for a in extra.split("=", 1)])
 
     from hidegs_tpu import evaluate
 
