@@ -8,6 +8,7 @@ depth_normal / alpha / out_observe / radii / visibility.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -21,6 +22,8 @@ from hidegs_tpu.raster.blend_jnp import blend_tiles
 from hidegs_tpu.raster.preprocess import preprocess_gaussians
 
 RenderOutputs = Dict[str, jnp.ndarray]
+
+_MM_GEOM_DEFAULT = os.environ.get("HIDEGS_MM_GEOM", "0") == "1"
 
 
 @dataclass(frozen=True)
@@ -43,6 +46,10 @@ class RasterConfig:
     # the gradient segment-sum; overflow is reported as `block_overflow`
     # for host-side re-budgeting (same policy as max_instances).
     max_blocks: int = 0
+    # pallas backend: evaluate the per-pixel quadratic form and the backward's
+    # gradient reductions as MXU matmuls against a tile-centered pixel basis
+    # instead of VPU elementwise + cross-sublane reductions
+    mm_geom: bool = _MM_GEOM_DEFAULT
 
 
 def render(
@@ -101,7 +108,8 @@ def render(
         from hidegs_tpu.raster.pallas_vjp import needed_blocks
 
         planes = blend_tiles_pallas(
-            pre, tb, tiles_y, tiles_x, config.tile, config.max_blocks
+            pre, tb, tiles_y, tiles_x, config.tile, config.max_blocks,
+            mm=config.mm_geom,
         )
         if config.max_blocks:
             block_overflow = jnp.maximum(

@@ -162,6 +162,26 @@ def _block_geometry(a, nvalid, pix_x, pix_y):
     )
 
 
+BASIS_K = 8  # padded basis columns: [1, x, y, x², xy, y², 0, 0]
+
+
+def pixel_basis(tile: int) -> jnp.ndarray:
+    """(P, BASIS_K) tile-centered polynomial pixel basis for the backward's
+    moment-matmul gradient reductions (pallas_vjp).
+
+    Tile-centering keeps |x|,|y| ≤ tile/2 so the expanded quadratic moments'
+    cancellation error stays small relative to the reduced gradients."""
+    P = tile * tile
+    lin = jnp.arange(P, dtype=jnp.int32)
+    px = (lin % tile).astype(jnp.float32) + jnp.float32(0.5 - tile / 2)
+    py = (lin // tile).astype(jnp.float32) + jnp.float32(0.5 - tile / 2)
+    one = jnp.ones((P,), jnp.float32)
+    zero = jnp.zeros((P,), jnp.float32)
+    return jnp.stack(
+        [one, px, py, px * px, px * py, py * py, zero, zero], axis=1
+    )
+
+
 def _block_channels(a, in_range):
     """(OUT_CH, CHUNK) channel matrix: rgb, invd, normal, dist, ones, pad."""
     ones = jnp.where(in_range, 1.0, 0.0)
@@ -234,6 +254,14 @@ def _start_input_pipeline(attrs_ref, buf, sem, win_start_ref):
 
     _window_dma(attrs_ref, buf, sem, win_start_ref, b % 2, b).wait()
     return _extract_window(buf[b % 2], win_start_ref[b] % CHUNK)
+
+
+def _tile_center(t, tiles_x, tile):
+    """Scalar (cx, cy) pixel-coordinate center of tile t."""
+    half = jnp.float32(tile / 2)
+    cx = ((t % tiles_x) * tile).astype(jnp.float32) + half
+    cy = ((t // tiles_x) * tile).astype(jnp.float32) + half
+    return cx, cy
 
 
 def _forward_kernel(
@@ -363,7 +391,8 @@ def finalize_tile_planes(
 
 
 def blend_tiles_pallas(
-    pre, binning, tiles_y: int, tiles_x: int, tile: int = 16, max_blocks: int = 0
+    pre, binning, tiles_y: int, tiles_x: int, tile: int = 16, max_blocks: int = 0,
+    mm: bool = False,
 ):
     """Drop-in forward replacement for blend_jnp.blend_tiles (same output
     dict). Gradients flow through the custom VJP in pallas_vjp.py."""
@@ -380,6 +409,7 @@ def blend_tiles_pallas(
         tiles_x,
         tile,
         max_blocks,
+        mm,
     )
     planes = tiles_to_planes(tile_out, tiles_y, tiles_x, tile)
     planes["out_observe"] = observe[:N].astype(jnp.int32)

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from hidegs_tpu.raster.pallas_blend import (
     ALPHA_MAX,
     ATTR,
+    BASIS_K,
     CHUNK,
     GID_CH,
     OUT_CH,
@@ -46,11 +47,13 @@ from hidegs_tpu.raster.pallas_blend import (
     _block_channels,
     _block_geometry,
     _start_input_pipeline,
+    _tile_center,
     _tile_pixels,
     _triu,
     blend_tiles_pallas_fwd,
     expand_to_instances,
     finalize_tile_planes,
+    pixel_basis,
     window_tables,
 )
 
@@ -59,16 +62,17 @@ def _passB_kernel(
     tile_of_ref, first_ref, nvalid_ref, win_start_ref,
     attrs_ref,  # (ATTR, I+2*CHUNK) in HBM; windows DMA'd manually
     g_ref,  # (1, P, OUT_CH) cotangents; aux ch10 = G_total, ch11 = T_final·gT
-    d_ref,  # (ATTR, CHUNK) out — gradient block (unique per b)
-    T_carry,  # (P, 1) scratch
-    R_carry,  # (P, 1) scratch: running prefix of w·chg
-    attr_buf,  # (2, ATTR, CHUNK) scratch — double-buffered windows
-    in_sem,  # DMA semaphores (2,)
-    *,
+    *rest,  # [u_ref (P, BASIS_K) if mm] d_ref, scratch...
     tile: int,
     tiles_x: int,
     sentinel: float,
+    mm: bool = False,
 ):
+    if mm:
+        u_ref, d_ref, T_carry, R_carry, attr_buf, in_sem = rest
+    else:
+        u_ref = None
+        d_ref, T_carry, R_carry, attr_buf, in_sem = rest
     b = pl.program_id(0)
     P = tile * tile
     t = tile_of_ref[b]
@@ -122,15 +126,43 @@ def _passB_kernel(
         live_g = (q["keep"] & (q["alpha_raw"] < ALPHA_MAX)).astype(jnp.float32)
         d_alpha = T_excl * chg - S / (1.0 - alpha)
         d_power = d_alpha * alpha * live_g
-        d_op_pix = d_alpha * jnp.exp(jnp.minimum(q["power"], 0.0)) * live_g
 
-        dx, dy, ca, cb, cc = q["dx"], q["dy"], q["ca"], q["cb"], q["cc"]
-        d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)  # (1, CHUNK)
-        d_cb = jnp.sum(-(dx * dy) * d_power, axis=0, keepdims=True)
-        d_cc = jnp.sum(-0.5 * dy * dy * d_power, axis=0, keepdims=True)
-        d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
-        d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
-        d_op = jnp.sum(d_op_pix, axis=0, keepdims=True)
+        ca, cb, cc = q["ca"], q["cb"], q["cc"]
+        if mm:
+            # All five weighted reductions are moments of d_power against the
+            # tile-centered pixel basis: one (K, P) @ (P, CHUNK) matmul, then
+            # lane-wide algebra. E.g. Σ_p dx²·dp = Mxx − 2·mxc·Mx + mxc²·M0.
+            # d_op comes free: within live_g, α = op·exp(min(power,0)), so
+            # Σ dα·∂α/∂op = Σ d_power / op = M0 / op.
+            # Precision: Mosaic's default f32 matmul is a bf16 pass — fine for
+            # the compositing matmuls, but the moments carry pixel-coordinate
+            # dynamic range; HIGHEST requests full f32 (Mosaic rejects HIGH).
+            M = jax.lax.dot_general(
+                u_ref[...], d_power, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (BASIS_K, CHUNK); rows: Σdp, Σx·dp, Σy·dp, Σx²dp, Σxy·dp, Σy²dp
+            M0, Mx, My = M[0:1, :], M[1:2, :], M[2:3, :]
+            Mxx, Mxy, Myy = M[3:4, :], M[4:5, :], M[5:6, :]
+            cx, cy = _tile_center(t, tiles_x, tile)
+            mxc = a[0:1, :] - cx
+            myc = a[1:2, :] - cy
+            op = a[8:9, :]
+            d_ca = -0.5 * (Mxx - 2.0 * mxc * Mx + mxc * mxc * M0)
+            d_cb = -(Mxy - mxc * My - myc * Mx + mxc * myc * M0)
+            d_cc = -0.5 * (Myy - 2.0 * myc * My + myc * myc * M0)
+            d_mx = ca * (Mx - mxc * M0) + cb * (My - myc * M0)
+            d_my = cc * (My - myc * M0) + cb * (Mx - mxc * M0)
+            d_op = jnp.where(op > 1e-12, M0 / op, 0.0)
+        else:
+            d_op_pix = d_alpha * jnp.exp(jnp.minimum(q["power"], 0.0)) * live_g
+            dx, dy = q["dx"], q["dy"]
+            d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)  # (1, CHUNK)
+            d_cb = jnp.sum(-(dx * dy) * d_power, axis=0, keepdims=True)
+            d_cc = jnp.sum(-0.5 * dy * dy * d_power, axis=0, keepdims=True)
+            d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
+            d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
+            d_op = jnp.sum(d_op_pix, axis=0, keepdims=True)
 
         # d(channels) = g_chᵀ·w → (OUT_CH, CHUNK)
         d_ch = jax.lax.dot_general(
@@ -157,7 +189,8 @@ def _passB_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_y", "tiles_x", "tile", "num_blocks", "sentinel")
+    jax.jit,
+    static_argnames=("tiles_y", "tiles_x", "tile", "num_blocks", "sentinel", "mm"),
 )
 def blend_tiles_pallas_bwd(
     attrs: jnp.ndarray,  # (ATTR, I + 2*CHUNK) depth-sorted
@@ -168,20 +201,26 @@ def blend_tiles_pallas_bwd(
     tile: int = 16,
     num_blocks: int = 0,
     sentinel: int = 0,
+    mm: bool = False,
 ) -> jnp.ndarray:
     P = tile * tile
     num_blocks = num_blocks or tables.tile_of.shape[0]
 
     kernelB = functools.partial(
-        _passB_kernel, tile=tile, tiles_x=tiles_x, sentinel=float(sentinel)
+        _passB_kernel, tile=tile, tiles_x=tiles_x, sentinel=float(sentinel), mm=mm
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, P, OUT_CH), lambda b, tof, f, nv, ws: (tof[b], 0, 0)),
+    ]
+    inputs = [attrs, g_tiles]
+    if mm:
+        in_specs.append(pl.BlockSpec((P, BASIS_K), lambda b, tof, f, nv, ws: (0, 0)))
+        inputs.append(pixel_basis(tile))
     gridB = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, P, OUT_CH), lambda b, tof, f, nv, ws: (tof[b], 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((ATTR, CHUNK), lambda b, tof, f, nv, ws: (0, b)),
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),
@@ -194,16 +233,16 @@ def blend_tiles_pallas_bwd(
         kernelB,
         grid_spec=gridB,
         out_shape=jax.ShapeDtypeStruct((ATTR, num_blocks * CHUNK), jnp.float32),
-    )(tables.tile_of, tables.first, tables.nvalid, tables.win_start,
-      attrs, g_tiles)
+    )(tables.tile_of, tables.first, tables.nvalid, tables.win_start, *inputs)
 
 
 # ------------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def blend_packed(
-    packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks=0
+    packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks=0,
+    mm=False,
 ):
     """(N+1, ATTR) per-gaussian attribute rows + sorted instance ids/ranges →
     ((T, P, OUT_CH) tile planes, (N+1,) per-gaussian observe counts).
@@ -214,9 +253,12 @@ def blend_packed(
     to the actual post-cull load; tiles whose blocks fall beyond the budget
     render as empty (the caller re-budgets via the block_overflow output,
     same policy as the instance budget, SURVEY §7.3 #1).
+
+    `mm` (static) selects the matmul-geometry kernels (quadratic form and
+    gradient reductions on the MXU against a tile-centered pixel basis).
     """
     out, _res = _blend_packed_fwd(
-        packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks
+        packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks, mm
     )
     return out
 
@@ -235,11 +277,14 @@ def _tables_and_attrs(
 
 
 def _blend_packed_fwd(
-    packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks=0
+    packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks=0,
+    mm=False,
 ):
     N, num_blocks, tables, attrs = _tables_and_attrs(
         packed, gid, tile_start, tile_count, tiles_y, tiles_x, max_blocks
     )
+    # mm only affects the backward kernel's reduction strategy; the forward is
+    # identical either way.
     tile_out, obs = blend_tiles_pallas_fwd(
         attrs, tables, tiles_y, tiles_x, tile, num_blocks, sentinel=N
     )
@@ -256,7 +301,7 @@ def _blend_packed_fwd(
     return (tile_out, observe), (attrs, tables, tile_out, N, num_blocks)
 
 
-def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, res, cts):
+def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, mm, res, cts):
     g_tiles, _g_observe = cts  # observe counts carry no gradient
     attrs, tables, fwd_out, N, num_blocks = res
     col = jnp.arange(OUT_CH)
@@ -270,7 +315,7 @@ def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, res, cts):
         [g_tiles[..., :10], G_total, S_base, g_tiles[..., 12:]], axis=-1
     )
     d_inst = blend_tiles_pallas_bwd(
-        attrs, tables, g_aug, tiles_y, tiles_x, tile, num_blocks, sentinel=N
+        attrs, tables, g_aug, tiles_y, tiles_x, tile, num_blocks, sentinel=N, mm=mm
     )  # (ATTR, B*CHUNK); padding lanes: zero grads + sentinel ids
     seg = d_inst[GID_CH].astype(jnp.int32)
     d_rows = d_inst[:GID_CH].T  # (B*CHUNK, GID_CH)

@@ -9,7 +9,7 @@ from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
 from hidegs_tpu.raster.api import RasterConfig, render
 
 
-def render_both(n=250, h=64, w=80, seed=0, geo=True, tile=16):
+def render_both(n=250, h=64, w=80, seed=0, geo=True, tile=16, mm=False):
     scene = make_toy_gaussians(n, seed=seed)
     cam = ring_camera(0, height=h, width=w)
     out_jnp = render(
@@ -19,17 +19,20 @@ def render_both(n=250, h=64, w=80, seed=0, geo=True, tile=16):
     with pltpu.force_tpu_interpret_mode():
         out_pl = render(
             *scene, cam, render_geo=geo,
-            config=RasterConfig(backend="pallas", max_instances=1 << 14, tile=tile),
+            config=RasterConfig(
+                backend="pallas", max_instances=1 << 14, tile=tile, mm_geom=mm
+            ),
         )
     return out_jnp, out_pl
 
 
-@pytest.mark.parametrize("tile", [16, 32])
-def test_pallas_forward_matches_jnp(tile):
+@pytest.mark.parametrize("tile,mm", [(16, False), (32, False), (16, True), (32, True)])
+def test_pallas_forward_matches_jnp(tile, mm):
     # tile=32 is the production default (config.PipelineConfig.tile); tile=16
     # is the reference's block size (config.h:16-17) — both must agree with
-    # the segmented jnp oracle
-    out_jnp, out_pl = render_both(tile=tile)
+    # the segmented jnp oracle, in both the factored (VPU) and matmul (MXU)
+    # geometry formulations
+    out_jnp, out_pl = render_both(tile=tile, mm=mm)
     for key in ["render", "invdepth", "alpha", "T_final", "rendered_normal", "rendered_distance"]:
         np.testing.assert_allclose(
             np.array(out_pl[key]), np.array(out_jnp[key]), atol=3e-4, rtol=1e-3,
@@ -42,15 +45,17 @@ def test_pallas_forward_matches_jnp(tile):
     )
 
 
-@pytest.mark.parametrize("tile", [16, 32])
-def test_pallas_gradients_match_jnp(tile):
+@pytest.mark.parametrize("tile,mm", [(16, False), (32, False), (16, True)])
+def test_pallas_gradients_match_jnp(tile, mm):
     scene = make_toy_gaussians(120, seed=1)
     cam = ring_camera(0, height=48, width=48)
     target = jnp.zeros((3, 48, 48))
     bg = jnp.array([0.3, 0.2, 0.1])
 
     def loss_fn(backend):
-        cfg = RasterConfig(backend=backend, max_instances=1 << 13, tile=tile)
+        cfg = RasterConfig(
+            backend=backend, max_instances=1 << 13, tile=tile, mm_geom=mm
+        )
 
         def f(means, scales, quats, opac, shs):
             out = render(means, scales, quats, opac, shs, cam, background=bg, config=cfg)
