@@ -94,7 +94,7 @@ def main():
     g_tiles = jnp.ones_like(tile_out[0])
     bwd_fn = jax.jit(
         lambda attrs, tables, g: blend_tiles_pallas_bwd(
-            attrs, tables, g, tiles_y, tiles_x, 16, num_blocks, N
+            attrs, tables, g, tiles_y, tiles_x, TILE, num_blocks, N
         )
     )
     d_inst = timeit("blend bwd kernel (windowed DMA)", bwd_fn, attrs, tables, g_tiles)

@@ -19,7 +19,8 @@ import os
 import shutil
 
 
-def build_dataset(root: str, width: int, height: int, nx: int, ny: int, n_ground: int):
+def build_dataset(root: str, width: int, height: int, nx: int, ny: int, n_ground: int,
+                  point_stride: int = 2):
     import numpy as np
 
     from hidegs_tpu.data.synthetic import (
@@ -39,7 +40,8 @@ def build_dataset(root: str, width: int, height: int, nx: int, ny: int, n_ground
     cfg = RasterConfig(backend="pallas", tile=32, max_instances=1 << 20,
                        depth_sort_bits=-1)
     write_synthetic_colmap_scene(
-        root, scene, cams, render_config=cfg, point_stride=6, jitter_points=0.02
+        root, scene, cams, render_config=cfg, point_stride=point_stride,
+        jitter_points=0.02,
     )
     return root
 
@@ -52,7 +54,13 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--grid", type=int, nargs=2, default=[6, 5])
     ap.add_argument("--n-ground", type=int, default=20_000)
-    ap.add_argument("--capacity", type=int, default=1 << 17)
+    # sparse inits (stride 6 ≈ 4k points over the whole scene) made every
+    # init gaussian huge (KNN scales ~ the 1m point spacing ≫ percent_dense·
+    # extent), so ALL of them took the split path every round → exponential
+    # doubling to capacity by step 3000 and the photometric loss rose the
+    # whole way. Real COLMAP clouds are much denser; stride 2 matches that.
+    ap.add_argument("--point-stride", type=int, default=2)
+    ap.add_argument("--capacity", type=int, default=1 << 18)
     # densify thresholds: the reference's 0.015/0.0008 are calibrated for its
     # ~1.6K real captures; on this sharp synthetic checker at 512 they
     # over-fire (first 30k run saturated capacity by step 3000 and the loss
@@ -70,7 +78,8 @@ def main():
     if args.fresh and os.path.isdir(args.model):
         shutil.rmtree(args.model)
     if not os.path.isdir(args.data):
-        build_dataset(args.data, args.size, args.size, *args.grid, args.n_ground)
+        build_dataset(args.data, args.size, args.size, *args.grid, args.n_ground,
+                      point_stride=args.point_stride)
 
     from hidegs_tpu.train import trainer
 

@@ -85,6 +85,9 @@ class OptimizationConfig:
     densify_until_iter: int = 15_000
     densify_grad_threshold: float = 0.015
     densify_abs_grad_threshold: float = 0.0008
+    # per-round growth cap as a fraction of the alive count, top-score-first
+    # (0 = reference behavior; see model/densify.DensifyConfig.max_growth_frac)
+    densify_max_growth: float = 0.0
     min_opacity: float = 0.005
     max_all_points: int = 6_000_000
     # depth supervision (arguments/__init__.py:113-116)

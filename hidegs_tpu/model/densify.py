@@ -37,6 +37,15 @@ class DensifyConfig(NamedTuple):
     clone_min_opacity: float = 0.15
     split_n: int = 2
     split_scale_div: float = 0.8  # children scale / (0.8 * N)
+    # Optional per-round growth budget: at most this fraction of the current
+    # alive count is added per round, HIGHEST-SCORE candidates first (0 = the
+    # reference's unbounded behavior). The absolute-threshold rule transfers
+    # poorly across scenes/resolutions — the score distribution is heavy-
+    # tailed and a threshold that selects 2% on one scene selects 50% on
+    # another, which snowballs (every split resets moments and perturbs
+    # geometry, raising the loss and hence next round's scores). A relative
+    # budget gives geometric, optimizer-paced growth on any scene.
+    max_growth_frac: float = 0.0
 
 
 def add_densification_stats(
@@ -105,23 +114,34 @@ def densify_and_prune(
     dead_idx = jnp.argsort(state.alive.astype(jnp.int32), stable=True)
     n_dead = C - state.alive.sum()
 
-    clone_rank = jnp.cumsum(clone_mask) - 1  # position among selected clones
     n_clone = clone_mask.sum()
-    split_rank = jnp.cumsum(split_mask) - 1
     n_split = split_mask.sum()
 
-    # clones take dead slots [0, n_clone); split child #1 takes [n_clone, ...)
+    # Each candidate (clone copy / split child #1) consumes one dead slot.
+    # When candidates outnumber free slots, keep the HIGHEST-SCORE ones —
+    # the static-capacity analog of max_all_points (arguments/__init__.py:121)
+    # spends the remaining budget where the densification signal is largest
+    # instead of by array order.
+    sel_mask = clone_mask | split_mask
+    sel_key = jnp.where(sel_mask, score, -jnp.inf)
+    order = jnp.argsort(-sel_key)  # candidates by descending score
+    cand_rank = jnp.zeros((C,), jnp.int32).at[order].set(jnp.arange(C, dtype=jnp.int32))
+    budget = n_dead
+    if cfg.max_growth_frac > 0:
+        budget = jnp.minimum(
+            budget, (cfg.max_growth_frac * state.alive.sum()).astype(jnp.int32)
+        )
+    slot = jnp.where(
+        sel_mask & (cand_rank < budget), dead_idx[jnp.clip(cand_rank, 0, C - 1)], C
+    )
     all_idx = jnp.arange(C)
-    clone_slot = jnp.where(
-        clone_mask & (clone_rank < n_dead), dead_idx[jnp.clip(clone_rank, 0, C - 1)], C
-    )
-    split_child_rank = n_clone + split_rank
-    split_slot = jnp.where(
-        split_mask & (split_child_rank < n_dead),
-        dead_idx[jnp.clip(split_child_rank, 0, C - 1)],
-        C,
-    )
+    clone_slot = jnp.where(clone_mask, slot, C)
+    split_slot = jnp.where(split_mask, slot, C)
     # splits whose second child found no slot degrade to in-place shrink only.
+    # Under a growth budget, over-budget splits should NOT shrink in place
+    # either — they keep their parent untouched.
+    if cfg.max_growth_frac > 0:
+        split_mask = split_mask & (cand_rank < budget)
 
     # --- clones: verbatim copy -----------------------------------------
     new_params = _scatter_params(p, all_idx, clone_slot)
@@ -189,11 +209,28 @@ def densify_and_prune(
         max_radii2d=state.max_radii2d * 0.0,
         protected=protected,
     )
+    # score quantiles among alive gaussians — for threshold calibration
+    # (scores of dead slots replaced by NaN and ignored)
+    score_alive = jnp.where(state.alive, score, jnp.nan)
+    q = jnp.nanpercentile(score_alive, jnp.array([50.0, 90.0, 99.0]))
+    qg = jnp.nanpercentile(
+        jnp.where(state.alive, state.grad_max, jnp.nan), jnp.array([50.0, 99.0])
+    )
+    qr = jnp.nanpercentile(
+        jnp.where(state.alive, state.max_radii2d, jnp.nan), jnp.array([50.0, 99.0])
+    )
     info = {
         "n_clone": n_clone,
         "n_split": n_split,
         "n_pruned": prune.sum(),
         "n_alive": alive.sum(),
-        "n_dropped": jnp.maximum(n_clone + n_split - n_dead, 0),
+        "n_dropped": jnp.maximum(n_clone + n_split - budget, 0),
+        "score_p50": q[0],
+        "score_p90": q[1],
+        "score_p99": q[2],
+        "grad_p50": qg[0],
+        "grad_p99": qg[1],
+        "radii_p50": qr[0],
+        "radii_p99": qr[1],
     }
     return new_state, new_opt, info

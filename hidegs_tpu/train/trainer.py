@@ -82,6 +82,7 @@ def train_config_from_opt(opt: OptimizationConfig, pipe: PipelineConfig, n_init:
             abs_grad_threshold=opt.densify_abs_grad_threshold,
             min_opacity=opt.min_opacity,
             percent_dense=opt.percent_dense,
+            max_growth_frac=opt.densify_max_growth,
         ),
         raster=RasterConfig(backend=pipe.raster_backend, max_instances=max_inst,
                             antialias=pipe.antialiasing, tile=pipe.tile,
@@ -293,6 +294,23 @@ def train(
         batch = build_view_batch(cam, vi, cfg, src_cam, src_depth)
         ts, metrics = train_step(ts, batch, cfg, use_exposure=opt_cfg.use_exposure)
         ts, dens_info = maybe_host_side_schedule(ts, cfg, scene_extent=scene.extent)
+        if dens_info is not None:
+            print(
+                f"  densify@{it}: clone={int(dens_info['n_clone'])} "
+                f"split={int(dens_info['n_split'])} "
+                f"pruned={int(dens_info['n_pruned'])} "
+                f"dropped={int(dens_info['n_dropped'])} "
+                f"alive={int(dens_info['n_alive'])} "
+                f"score p50/p90/p99="
+                f"{float(dens_info['score_p50']):.4f}/"
+                f"{float(dens_info['score_p90']):.4f}/"
+                f"{float(dens_info['score_p99']):.4f} "
+                f"grad p50/p99={float(dens_info['grad_p50']):.5f}/"
+                f"{float(dens_info['grad_p99']):.5f} "
+                f"radii p50/p99={float(dens_info['radii_p50']):.0f}/"
+                f"{float(dens_info['radii_p99']):.0f}",
+                flush=True,
+            )
 
         if it % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}

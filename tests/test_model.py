@@ -154,6 +154,32 @@ def test_densify_respects_capacity():
     assert int(info["n_dropped"]) >= 28
 
 
+def test_densify_growth_budget_top_score():
+    """max_growth_frac caps additions per round, keeping the highest scores."""
+    st = make_state(n=20, capacity=256)
+    opt = init_adam(st.params)
+    # all 20 clone-eligible, scores increasing with index
+    st = st._replace(
+        grad_max=jnp.zeros(256).at[:20].set(jnp.arange(1.0, 21.0)),
+        max_radii2d=jnp.zeros(256).at[:20].set(10.0),
+        params=st.params._replace(opacity=jnp.full((256,), 5.0)),
+    )
+    cfg = DensifyConfig(grad_threshold=0.0, percent_dense=1e9, max_growth_frac=0.2)
+    st2, _, info = densify_and_prune(st, opt, 1.0, cfg, jax.random.PRNGKey(3))
+    # 20 alive * 0.2 = 4 additions, the four highest-score gaussians
+    assert int(st2.alive.sum()) == 24
+    assert int(info["n_dropped"]) == 16
+    # the clones are copies of gaussians 16..19 (highest scores): their xyz
+    # values must appear twice in the alive set
+    alive_xyz = np.array(st2.params.xyz)[np.array(st2.alive)]
+    for i in range(16, 20):
+        match = np.all(alive_xyz == np.array(st.params.xyz[i]), axis=1).sum()
+        assert match == 2, i
+    for i in range(0, 16):
+        match = np.all(alive_xyz == np.array(st.params.xyz[i]), axis=1).sum()
+        assert match == 1, i
+
+
 def test_add_densification_stats_running_max():
     st = make_state()
     g = jnp.zeros((32, 2)).at[0].set(jnp.array([3.0, 4.0]))
