@@ -1,0 +1,203 @@
+"""Loss-term ablation on NON-realizable ground truth (VERDICT r1 item 2).
+
+Round-1 quality runs trained against images rendered *from gaussians*, which
+the model class fits exactly; they could not show whether HiDeGS's loss terms
+help. This harness renders ground truth ANALYTICALLY (ray-cast textured plane
++ spheres, data/synthetic.render_analytic_scene) and trains the full loop
+under ablated loss configurations:
+
+    base      photometric only
+    freq      + frequency-spatial regularization (reference
+              frequency_regularization.py:1579, claimed +1.34 dB README.md:43)
+    freq_sv   + single-view normal consistency
+    full      + multi-view NCC/geometric consistency
+
+Held-out-view PSNR/SSIM per config goes to docs/quality_ablation_r2.json.
+
+Usage: python benchmarks/quality_ablation.py [--steps 6000] [--res 256]
+       [--configs base freq freq_sv full]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hidegs_tpu.data.synthetic import (
+    analytic_init_points,
+    nadir_grid_camera,
+    render_analytic_scene,
+)
+from hidegs_tpu.model.gaussians import init_from_points
+from hidegs_tpu.model.knn import initial_scales
+from hidegs_tpu.raster.api import RasterConfig, render
+from hidegs_tpu.train.geometric import MultiViewBatch
+from hidegs_tpu.train.loop import (
+    TrainConfig,
+    ViewBatch,
+    init_train_state,
+    maybe_host_side_schedule,
+    train_step,
+)
+from hidegs_tpu.train.losses import psnr, ssim
+
+EXTENT = 6.0
+SPHERES = np.array(
+    [
+        [1.5, 0.5, 0.8, 0.8],
+        [-2.0, -1.2, 0.6, 0.6],
+        [0.2, 2.2, 0.5, 0.5],
+        [-1.0, 1.0, 1.0, 0.45],
+    ]
+)
+SPHERE_COLORS = np.array(
+    [[0.80, 0.30, 0.25], [0.30, 0.40, 0.85], [0.85, 0.75, 0.30], [0.45, 0.75, 0.45]]
+)
+
+
+def make_cameras(res: int):
+    """4x4 training grid + 3 held-out views (offset positions)."""
+    train = [
+        nadir_grid_camera(ix, iy, 4, 4, extent_xy=EXTENT, altitude=9.0,
+                          height=res, width=res)
+        for iy in range(4)
+        for ix in range(4)
+    ]
+    test = [
+        nadir_grid_camera(ix, iy, 3, 3, extent_xy=0.6 * EXTENT, altitude=8.0,
+                          height=res, width=res, tilt=0.2)
+        for ix, iy in [(0, 1), (1, 0), (2, 2)]
+    ]
+    return train, test
+
+
+def loss_config(name: str, raster: RasterConfig, steps: int) -> TrainConfig:
+    freq = name in ("freq", "freq_sv", "full")
+    sv = name in ("freq_sv", "full")
+    mv = name == "full"
+    return TrainConfig(
+        raster=raster,
+        iterations=steps,
+        lambda_freq=1e-3 if freq else 0.0,
+        lambda_scale=5e-3 if freq else 0.0,
+        freq_warmup=min(500, steps // 6),
+        single_view_weight=0.015 if sv else 0.0,
+        single_view_from=steps // 4,
+        multi_view_ncc_weight=0.15 if mv else 0.0,
+        multi_view_geo_weight=0.03 if mv else 0.0,
+        multi_view_from=steps // 4,
+        multi_view_sample_num=4096,
+        densify_from=300,
+        densify_until=int(steps * 0.6),
+        densify_interval=300,
+        opacity_reset_interval=3000,
+    )
+
+
+def evaluate(ts, test_cams, test_gts, cfg):
+    g = ts.gaussians
+    ps, ss = [], []
+    for cam, gt in zip(test_cams, test_gts):
+        out = render(
+            g.params.xyz, g.scales, g.quats, g.opacities, g.shs_flat, cam,
+            active_sh_degree=g.active_sh_degree, config=cfg.raster,
+        )
+        img = jnp.clip(out["render"], 0, 1)
+        ps.append(float(psnr(img, gt)))
+        ss.append(float(ssim(img, gt)))
+    return float(np.mean(ps)), float(np.mean(ss))
+
+
+def run_config(name, steps, res, train_cams, train_gts, test_cams, test_gts,
+               raster, eval_every, seed=0):
+    cfg = loss_config(name, raster, steps)
+    pts, cols = analytic_init_points(6000, EXTENT, SPHERES, SPHERE_COLORS, seed=seed)
+    state = init_from_points(
+        jnp.asarray(pts), jnp.asarray(cols), capacity=1 << 16,
+        spatial_lr_scale=EXTENT, knn_scale=initial_scales(jnp.asarray(pts)),
+    )
+    ts = init_train_state(state, num_images=len(train_cams), seed=seed)
+
+    use_mv = cfg.multi_view_ncc_weight > 0
+    rng = np.random.default_rng(seed)
+    order = []
+    curve = []
+    t0 = time.time()
+    for it in range(1, steps + 1):
+        if not order:
+            order = list(rng.permutation(len(train_cams)))
+        vi = int(order.pop())
+        cam, gt = train_cams[vi], train_gts[vi]
+        mv = None
+        if use_mv and it >= cfg.multi_view_from:
+            si = (vi + (1 if vi % 4 < 3 else -1))  # grid neighbor
+            g = ts.gaussians
+            src_out = render(
+                jax.lax.stop_gradient(g.params.xyz), g.scales, g.quats,
+                g.opacities, g.shs_flat, train_cams[si],
+                active_sh_degree=g.active_sh_degree, render_geo=True,
+                config=cfg.raster,
+            )
+            mv = MultiViewBatch(
+                src_image_gray=jnp.mean(train_gts[si], axis=0),
+                src_plane_depth=jax.lax.stop_gradient(src_out["plane_depth"]),
+                src_cam=train_cams[si],
+            )
+        batch = ViewBatch(cam=cam, image=gt, image_idx=jnp.int32(vi),
+                          invdepth=None, depth_mask=None, alpha_mask=None,
+                          multi_view=mv)
+        ts, metrics = train_step(ts, batch, cfg, use_exposure=False)
+        ts, _ = maybe_host_side_schedule(ts, cfg, scene_extent=EXTENT)
+        if it % eval_every == 0 or it == steps:
+            p, s = evaluate(ts, test_cams, test_gts, cfg)
+            alive = int(ts.gaussians.alive.sum())
+            curve.append({"step": it, "psnr": p, "ssim": s, "alive": alive})
+            print(f"[{name} {it}/{steps}] psnr={p:.2f} ssim={s:.4f} "
+                  f"alive={alive} ({time.time()-t0:.0f}s)", flush=True)
+    return curve
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--eval_every", type=int, default=1000)
+    ap.add_argument("--configs", nargs="+",
+                    default=["base", "freq", "freq_sv", "full"])
+    ap.add_argument("--out", default="docs/quality_ablation_r2.json")
+    args = ap.parse_args()
+
+    train_cams, test_cams = make_cameras(args.res)
+    print("rendering analytic ground truth...", flush=True)
+    train_gts = [jnp.asarray(render_analytic_scene(c, SPHERES, SPHERE_COLORS))
+                 for c in train_cams]
+    test_gts = [jnp.asarray(render_analytic_scene(c, SPHERES, SPHERE_COLORS))
+                for c in test_cams]
+
+    raster = RasterConfig(backend="pallas", tile=32, max_instances=1 << 19,
+                          max_blocks=2048, depth_sort_bits=-1)
+    report = {"steps": args.steps, "res": args.res, "configs": {}}
+    for name in args.configs:
+        curve = run_config(name, args.steps, args.res, train_cams, train_gts,
+                           test_cams, test_gts, raster, args.eval_every)
+        report["configs"][name] = curve
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+    # delta table vs base
+    if "base" in report["configs"]:
+        base_p = report["configs"]["base"][-1]["psnr"]
+        for name, curve in report["configs"].items():
+            d = curve[-1]["psnr"] - base_p
+            print(f"{name:8s} final PSNR {curve[-1]['psnr']:.2f} "
+                  f"({d:+.2f} dB vs base), SSIM {curve[-1]['ssim']:.4f}")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

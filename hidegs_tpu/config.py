@@ -38,6 +38,11 @@ class ModelConfig:
     multi_view_max_angle: float = 30.0
     multi_view_min_dis: float = 0.01
     multi_view_max_dis: float = 1.5
+    # host-RAM policy for decoded training images: "always" caches every view
+    # in memory, "never" decodes lazily per step (CameraDataset's lazy path,
+    # camera_utils.py:122-144), "auto" caches only when the estimated decoded
+    # footprint fits comfortably in available RAM
+    cache_images: str = "auto"
 
 
 @dataclass

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from hidegs_tpu.core.camera_math import CameraParams
@@ -114,6 +115,92 @@ def project_gaussians(
         cov2d=jnp.stack([a_d, b, c_d], axis=-1),
         conic=conic,
         radius=radius,
+        aa_factor=aa_factor,
+        in_frustum=valid,
+    )
+
+
+def project_gaussians_scq(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    cam: CameraParams,
+    h_var: float = H_VAR,
+    near_z: float = NEAR_Z,
+) -> Projected2D:
+    """Scalar-expanded EWA projection straight from (scales, quats).
+
+    Numerically equivalent to build_covariance_3d + project_gaussians but
+    TPU-shaped: every intermediate is an (N,) component array, so the whole
+    chain is VPU elementwise math. The einsum formulation materializes
+    (N,2,3)/(N,3,3) intermediates whose 3-wide minor dim pads to 128 lanes —
+    a ~42x memory blowup that made preprocess ~5x slower at 500k gaussians —
+    and its (N,3)x(3,3) matmuls run at bf16 MXU precision, while this path is
+    full f32. Covers forward.cu:141-215 (computeCov2D + computeCov3D) in one
+    fused form: cov2d = B Bᵀ with B = J·R_cam·R(q)·diag(s).
+    """
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    R, t = cam.R, cam.t
+    px = R[0, 0] * mx + R[0, 1] * my + R[0, 2] * mz + t[0]
+    py = R[1, 0] * mx + R[1, 1] * my + R[1, 2] * mz + t[1]
+    pz = R[2, 0] * mx + R[2, 1] * my + R[2, 2] * mz + t[2]
+    in_frustum = pz > near_z
+    zs = jnp.maximum(pz, near_z)
+
+    tan_half_x = cam.frustum_width / (2.0 * cam.fx)
+    tan_half_y = cam.frustum_height / (2.0 * cam.fy)
+    txz = jnp.clip(px / zs, -1.3 * tan_half_x, 1.3 * tan_half_x)
+    tyz = jnp.clip(py / zs, -1.3 * tan_half_y, 1.3 * tan_half_y)
+    j00 = cam.fx / zs
+    j11 = cam.fy / zs
+    j02 = -cam.fx * txz / zs
+    j12 = -cam.fy * tyz / zs
+
+    # A = J @ R_cam (2x3); camera R entries are compile-time scalars
+    A = [
+        [j00 * R[0, k] + j02 * R[2, k] for k in range(3)],
+        [j11 * R[1, k] + j12 * R[2, k] for k in range(3)],
+    ]
+    # rotation components from the (normalized) quaternion
+    q = quats * jax.lax.rsqrt(jnp.sum(quats * quats, axis=-1, keepdims=True) + 1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+    s = [scales[:, 0], scales[:, 1], scales[:, 2]]
+    # B = A @ R(q) * diag(s): (2x3) of (N,) arrays
+    Brow = [
+        [(A[a][0] * r[0][j] + A[a][1] * r[1][j] + A[a][2] * r[2][j]) * s[j] for j in range(3)]
+        for a in range(2)
+    ]
+    a_ = Brow[0][0] ** 2 + Brow[0][1] ** 2 + Brow[0][2] ** 2
+    b_ = Brow[0][0] * Brow[1][0] + Brow[0][1] * Brow[1][1] + Brow[0][2] * Brow[1][2]
+    c_ = Brow[1][0] ** 2 + Brow[1][1] ** 2 + Brow[1][2] ** 2
+
+    det_raw = a_ * c_ - b_ * b_
+    a_d = a_ + h_var
+    c_d = c_ + h_var
+    det_d = a_d * c_d - b_ * b_
+    aa_factor = jnp.sqrt(jnp.maximum(det_raw / jnp.maximum(det_d, 1e-12), 0.0))
+    inv_det = 1.0 / jnp.maximum(det_d, 1e-12)
+    conic = jnp.stack([c_d * inv_det, -b_ * inv_det, a_d * inv_det], axis=-1)
+
+    mid = 0.5 * (a_d + c_d)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det_d))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    u = cam.fx * (px / zs) + cam.cx
+    v = cam.fy * (py / zs) + cam.cy
+
+    valid = in_frustum & (det_d > 0.0)
+    return Projected2D(
+        mean2d=jnp.stack([u, v], axis=-1),
+        depth=pz,
+        cov2d=jnp.stack([a_d, b_, c_d], axis=-1),
+        conic=conic,
+        radius=jnp.where(valid, radius, 0.0),
         aa_factor=aa_factor,
         in_frustum=valid,
     )

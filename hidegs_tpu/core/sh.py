@@ -11,6 +11,7 @@ allocated at full K=16 while the active degree ramps up during training
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 C0 = 0.28209479177387814
@@ -76,14 +77,59 @@ def degree_mask(active_degree, total_coeffs: int = NUM_SH_COEFFS) -> jnp.ndarray
     return (band <= active_degree).astype(jnp.float32)
 
 
+def _sh_basis_components(dirs: jnp.ndarray):
+    """The 16 deg-0..3 basis values as a list of (...,) arrays (no stack —
+    keeps everything VPU-elementwise; see eval_sh's flat path)."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    return [
+        C0 * jnp.ones_like(x),
+        -C1 * y,
+        C1 * z,
+        -C1 * x,
+        C2[0] * xy,
+        C2[1] * yz,
+        C2[2] * (2.0 * zz - xx - yy),
+        C2[3] * xz,
+        C2[4] * (xx - yy),
+        C3[0] * y * (3.0 * xx - yy),
+        C3[1] * xy * z,
+        C3[2] * y * (4.0 * zz - xx - yy),
+        C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+        C3[4] * x * (4.0 * zz - xx - yy),
+        C3[5] * z * (xx - yy),
+        C3[6] * x * (xx - 3.0 * yy),
+    ]
+
+
 def eval_sh(active_degree, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """SH → RGB (before the +0.5 shift / clamp).
 
-    sh: (..., K, 3) with K ≤ 16;  dirs: (..., 3) (normalized internally).
+    sh: (..., K, 3) with K ≤ 16, or FLAT (..., 3K) with layout
+    [k0_r, k0_g, k0_b, k1_r, ...];  dirs: (..., 3) (normalized internally).
     active_degree may be a traced int so the SH warm-up schedule does not
     trigger recompiles.
+
+    The flat layout is the TPU fast path: an (N, K, 3) array pads its 3-wide
+    minor dim to 128 lanes (~42x memory blowup — 4 GB of HBM traffic for 500k
+    gaussians), while (N, 48) pads only to 128 (2.7x). The flat branch also
+    avoids the (N, 16) basis stack: each coefficient column is one (N,)
+    multiply-add on the VPU.
     """
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    dirs = dirs * jax.lax.rsqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-24)
+    if sh.ndim == dirs.ndim:
+        # flat (..., 3K) layout
+        K = sh.shape[-1] // 3
+        basis = _sh_basis_components(dirs)
+        mask = degree_mask(active_degree, K)
+        rgb = []
+        for c in range(3):
+            acc = (basis[0] * mask[0]) * sh[..., c]
+            for k in range(1, K):
+                acc = acc + (basis[k] * mask[k]) * sh[..., 3 * k + c]
+            rgb.append(acc)
+        return jnp.stack(rgb, axis=-1)
     K = sh.shape[-2]
     basis = sh_basis(dirs)[..., :K]  # (..., K)
     mask = degree_mask(active_degree, K)

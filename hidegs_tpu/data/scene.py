@@ -82,9 +82,14 @@ def load_scene(
     multi_view_max_angle: float = 30.0,
     multi_view_min_dis: float = 0.01,
     multi_view_max_dis: float = 1.5,
-    cache_all: bool = False,
+    cache_all=False,
 ) -> Scene:
+    """`cache_all` may be a bool or a callable(info) -> bool so callers can
+    apply a RAM heuristic that needs the camera intrinsics (known from COLMAP
+    before any image is decoded)."""
     info = load_colmap_scene(source_path, images=images, depths=depths, eval_split=eval_split)
+    if callable(cache_all):
+        cache_all = bool(cache_all(info))
     graph = multi_view_neighbors(
         info.train_cameras,
         num_neighbors=multi_view_num,

@@ -163,6 +163,126 @@ def nadir_grid_camera(
     return make_camera(R, t, fx=focal, fy=focal, height=height, width=width)
 
 
+def procedural_texture(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """High-frequency procedural albedo at world ground coordinates (u, v).
+
+    Checker + two sine octaves + hash-based value noise — content a finite
+    gaussian mixture can approximate but never represent exactly, so quality
+    deltas between loss configurations are meaningful (VERDICT r1 item 2:
+    round-1 GT was rendered FROM gaussians, which the model class fits
+    exactly). Returns (..., 3) in [0, 1].
+    """
+    checker = ((np.floor(u / 0.9) + np.floor(v / 0.9)) % 2.0) * 0.30
+    fine = ((np.floor(u / 0.22) + np.floor(v / 0.22)) % 2.0) * 0.12
+    waves = 0.14 * np.sin(5.3 * u) * np.cos(4.1 * v) + 0.10 * np.sin(17.0 * v + 2.0 * u)
+    # deterministic value noise from an integer lattice hash, bilinear interp
+    def hash01(ix, iy):
+        h = (ix.astype(np.int64) * 374761393 + iy.astype(np.int64) * 668265263) % 2147483647
+        h = (h ^ (h >> 13)) * 1274126177 % 2147483647
+        return (h % 65536).astype(np.float64) / 65536.0
+
+    gu, gv = u / 0.35, v / 0.35
+    iu, iv = np.floor(gu), np.floor(gv)
+    fu, fv = gu - iu, gv - iv
+    n = (
+        hash01(iu, iv) * (1 - fu) * (1 - fv)
+        + hash01(iu + 1, iv) * fu * (1 - fv)
+        + hash01(iu, iv + 1) * (1 - fu) * fv
+        + hash01(iu + 1, iv + 1) * fu * fv
+    )
+    r = 0.38 + checker + 0.18 * (n - 0.5)
+    g = 0.45 + waves + fine
+    b = 0.33 + 0.22 * checker - 0.10 * waves + 0.12 * (n - 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0.02, 0.98)
+
+
+def render_analytic_scene(
+    cam: CameraParams,
+    spheres: np.ndarray = None,
+    sphere_colors: np.ndarray = None,
+    sky=(0.70, 0.80, 0.95),
+    sun=(0.45, 0.35, 0.80),
+) -> np.ndarray:
+    """Exact ray-cast render of a procedurally-textured ground plane (z=0)
+    plus lambertian spheres — analytic ground truth that is NOT in the
+    gaussian model class. Returns (3, H, W) float32 in [0, 1].
+
+    spheres: (K, 4) rows [cx, cy, cz, radius]; scene coords have +z up.
+    """
+    H, W = cam.height, cam.width
+    R = np.asarray(cam.R, np.float64)
+    t = np.asarray(cam.t, np.float64)
+    origin = -R.T @ t  # camera center in world
+    xs = (np.arange(W) + 0.5 - float(cam.cx)) / float(cam.fx)
+    ys = (np.arange(H) + 0.5 - float(cam.cy)) / float(cam.fy)
+    dx, dy = np.meshgrid(xs, ys)  # (H, W)
+    d_cam = np.stack([dx, dy, np.ones_like(dx)], axis=-1)
+    d_world = d_cam @ R  # rows of R are camera axes => d_world = Rᵀ d_cam
+    d_world /= np.linalg.norm(d_world, axis=-1, keepdims=True)
+
+    t_hit = np.full((H, W), np.inf)
+    color = np.tile(np.asarray(sky, np.float64), (H, W, 1))
+
+    # ground plane z = 0
+    dz = d_world[..., 2]
+    t_pl = np.where(np.abs(dz) > 1e-9, -origin[2] / dz, np.inf)
+    ok = (t_pl > 1e-6) & (t_pl < t_hit)
+    pu = origin[0] + t_pl * d_world[..., 0]
+    pv = origin[1] + t_pl * d_world[..., 1]
+    tex = procedural_texture(pu, pv)
+    color = np.where(ok[..., None], tex, color)
+    t_hit = np.where(ok, t_pl, t_hit)
+
+    if spheres is not None:
+        sundir = np.asarray(sun, np.float64)
+        sundir = sundir / np.linalg.norm(sundir)
+        for (cx_, cy_, cz_, rad), col in zip(np.asarray(spheres), np.asarray(sphere_colors)):
+            oc = origin - np.array([cx_, cy_, cz_])
+            b = np.einsum("hwc,c->hw", d_world, oc)
+            c = oc @ oc - rad * rad
+            disc = b * b - c
+            t_sp = np.where(disc >= 0, -b - np.sqrt(np.maximum(disc, 0.0)), np.inf)
+            ok = (t_sp > 1e-6) & (t_sp < t_hit)
+            p = origin[None, None] + t_sp[..., None] * d_world
+            n = (p - np.array([cx_, cy_, cz_])[None, None]) / rad
+            lam = np.clip(np.einsum("hwc,c->hw", n, sundir), 0.0, 1.0) * 0.7 + 0.3
+            shaded = np.asarray(col)[None, None] * lam[..., None]
+            color = np.where(ok[..., None], shaded, color)
+            t_hit = np.where(ok, t_sp, t_hit)
+
+    return np.transpose(color, (2, 0, 1)).astype(np.float32)
+
+
+def analytic_init_points(
+    n_ground: int,
+    extent_xy: float,
+    spheres: np.ndarray = None,
+    sphere_colors: np.ndarray = None,
+    n_per_sphere: int = 400,
+    seed: int = 0,
+):
+    """Noisy init point cloud for the analytic scene (plays COLMAP sparse
+    points): ground samples colored by the true texture + sphere-surface
+    samples. Returns (points (N,3), colors (N,3))."""
+    rng = np.random.default_rng(seed)
+    gx = rng.uniform(-extent_xy, extent_xy, n_ground)
+    gy = rng.uniform(-extent_xy, extent_xy, n_ground)
+    gz = rng.normal(0.0, 0.01, n_ground)
+    cols = procedural_texture(gx, gy)
+    pts = [np.stack([gx, gy, gz], -1)]
+    cs = [cols]
+    if spheres is not None:
+        for (cx_, cy_, cz_, rad), col in zip(np.asarray(spheres), np.asarray(sphere_colors)):
+            v = rng.normal(size=(n_per_sphere, 3))
+            v /= np.linalg.norm(v, axis=-1, keepdims=True)
+            pts.append(np.array([cx_, cy_, cz_]) + rad * v)
+            cs.append(np.tile(np.asarray(col, np.float64)[None], (n_per_sphere, 1)))
+    return (
+        np.concatenate(pts).astype(np.float32),
+        np.clip(np.concatenate(cs), 0, 1).astype(np.float32),
+    )
+
+
 def write_synthetic_colmap_scene(
     root: str,
     scene: ToyScene,

@@ -34,6 +34,18 @@ def load_gaussian_state_from_ply(path: str):
     )
 
 
+def default_lpips_weights() -> str:
+    """Converted-LPIPS weight discovery: $HIDEGS_LPIPS_WEIGHTS, then the
+    conventional cache path. Produce the file once with
+    `python -m hidegs_tpu.train.lpips --out ~/.cache/hidegs/lpips_vgg.npz`
+    in an environment with the `lpips` pip package (train/lpips.py)."""
+    env = os.environ.get("HIDEGS_LPIPS_WEIGHTS", "")
+    if env and os.path.exists(env):
+        return env
+    cache = os.path.expanduser("~/.cache/hidegs/lpips_vgg.npz")
+    return cache if os.path.exists(cache) else ""
+
+
 def save_png(path: str, img_chw: np.ndarray):
     from PIL import Image
 
@@ -103,10 +115,11 @@ def main(argv=None):
                        max_instances=pipe_cfg.max_instances)
 
     lpips_fn = None
-    if args.lpips_weights:
+    weights = args.lpips_weights or default_lpips_weights()
+    if weights:
         from hidegs_tpu.train.lpips import load_lpips
 
-        lpips_fn = load_lpips(args.lpips_weights)
+        lpips_fn = load_lpips(weights)
 
     out_dir = os.path.join(model_cfg.model_path, f"eval_{it}")
     report = {}

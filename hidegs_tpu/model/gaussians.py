@@ -76,6 +76,15 @@ class GaussianState(NamedTuple):
         """(C, 16, 3) full SH tensor."""
         return jnp.concatenate([self.params.sh_dc[:, None, :], self.params.sh_rest], axis=1)
 
+    @property
+    def shs_flat(self) -> jnp.ndarray:
+        """(C, 48) flat SH tensor [k0_rgb, k1_rgb, ...] — the TPU fast path
+        (a 3-wide minor dim pads to 128 lanes; see core/sh.eval_sh)."""
+        C = self.params.sh_dc.shape[0]
+        return jnp.concatenate(
+            [self.params.sh_dc, self.params.sh_rest.reshape(C, -1)], axis=1
+        )
+
 
 def init_from_points(
     points: jnp.ndarray,

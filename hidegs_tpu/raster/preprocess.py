@@ -10,12 +10,12 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from hidegs_tpu.core import sh as shm
-from hidegs_tpu.core import transforms
 from hidegs_tpu.core.camera_math import CameraParams
-from hidegs_tpu.core.ewa import H_VAR, NEAR_Z, Projected2D, project_gaussians
+from hidegs_tpu.core.ewa import H_VAR, NEAR_Z, Projected2D, project_gaussians_scq
 
 
 class PreprocessedGaussians(NamedTuple):
@@ -58,8 +58,11 @@ def preprocess_gaussians(
     the reference's retain_grad'd screenspace_points
     (gaussian_renderer/__init__.py:45-49).
     """
-    cov3d = transforms.build_covariance_3d(scales, quats)
-    proj: Projected2D = project_gaussians(means3d, cov3d, cam, h_var=h_var, near_z=near_z)
+    # scalar-expanded fused covariance+projection (see ewa.project_gaussians_scq:
+    # VPU-only, no (N,3,3) intermediates, full f32)
+    proj: Projected2D = project_gaussians_scq(
+        means3d, scales, quats, cam, h_var=h_var, near_z=near_z
+    )
     if mean2d_offset is not None:
         proj = proj._replace(mean2d=proj.mean2d + mean2d_offset)
 
@@ -75,17 +78,31 @@ def preprocess_gaussians(
         # Per-Gaussian plane: normal = smallest principal axis rotated to
         # camera frame, flipped toward the camera; distance = n · p_cam
         # (gaussian_renderer/__init__.py:161-169, scene/gaussian_model.py:153-166).
-        n_world = transforms.smallest_axis(scales, quats)
-        n_cam = n_world @ cam.R.T
-        p_cam = means3d @ cam.R.T + cam.t
+        # Scalar-expanded like project_gaussians_scq (XLA CSEs the shared
+        # quaternion/rotation/camera-transform subexpressions).
+        q = quats * jax.lax.rsqrt(jnp.sum(quats * quats, axis=-1, keepdims=True) + 1e-12)
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        r = [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+        idx = jnp.argmin(scales, axis=-1)
+        sel = [(idx == j).astype(jnp.float32) for j in range(3)]
+        n_w = [r[i][0] * sel[0] + r[i][1] * sel[1] + r[i][2] * sel[2] for i in range(3)]
+        R, t = cam.R, cam.t
+        mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+        ncam = [R[i, 0] * n_w[0] + R[i, 1] * n_w[1] + R[i, 2] * n_w[2] for i in range(3)]
+        pcam = [R[i, 0] * mx + R[i, 1] * my + R[i, 2] * mz + t[i] for i in range(3)]
+        dot = ncam[0] * pcam[0] + ncam[1] * pcam[1] + ncam[2] * pcam[2]
         # flip so the normal faces the camera (n · p < 0)
-        flip = jnp.where(jnp.sum(n_cam * p_cam, axis=-1, keepdims=True) > 0, -1.0, 1.0)
-        n_cam = n_cam * flip
+        flip = jnp.where(dot > 0, -1.0, 1.0)
+        n_cam = jnp.stack([ncam[0] * flip, ncam[1] * flip, ncam[2] * flip], axis=-1)
         # POSITIVE plane distance |n·p| (gaussian_renderer/__init__.py:165
         # local_distance = (...).sum(-1).abs()); with the flip above n·p ≤ 0,
         # so |n·p| = −(n·p). The sign matters: plane_depth divides by
         # −(n·ray) > 0, and a negative distance would flip every depth.
-        distance = -jnp.sum(n_cam * p_cam, axis=-1)
+        distance = -flip * dot
     else:
         n_cam = jnp.zeros_like(means3d)
         distance = jnp.zeros_like(proj.depth)

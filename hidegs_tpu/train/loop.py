@@ -148,7 +148,7 @@ def compute_losses(
         gaussians.scales,
         gaussians.quats,
         gaussians.opacities,
-        gaussians.shs,
+        gaussians.shs_flat,
         batch.cam,
         active_sh_degree=gaussians.active_sh_degree,
         render_geo=render_geo,

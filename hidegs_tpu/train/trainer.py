@@ -157,7 +157,7 @@ def render_plane_depth(ts: TrainState, cam_params, cfg: TrainConfig):
         g.scales,
         g.quats,
         g.opacities,
-        g.shs,
+        g.shs_flat,
         cam_params,
         active_sh_degree=g.active_sh_degree,
         render_geo=True,
@@ -180,7 +180,7 @@ def save_frequency_panel(ts: TrainState, cam, cfg: TrainConfig, model_path: str,
         g.scales,
         g.quats,
         g.opacities,
-        g.shs,
+        g.shs_flat,
         cam.cam_params(),
         active_sh_degree=g.active_sh_degree,
         config=cfg.raster,
@@ -220,7 +220,7 @@ def train(
             multi_view_max_angle=model_cfg.multi_view_max_angle,
             multi_view_min_dis=model_cfg.multi_view_min_dis,
             multi_view_max_dis=model_cfg.multi_view_max_dis,
-            cache_all=_cache_images(model_cfg),
+            cache_all=lambda info: _cache_images(model_cfg, info),
         )
     n_views = len(scene.train_cameras)
     assert n_views > 0, "no training cameras"
@@ -278,7 +278,39 @@ def train(
     order = []
     t0 = time.time()
     use_mv = cfg.multi_view_ncc_weight > 0 and scene.neighbors
+    # budget-overflow bookkeeping: counters from step it are inspected at
+    # step it+1 (a single-step lag keeps dispatch async instead of syncing on
+    # every step's metrics) — formerly only every log_every steps, which let
+    # overflow silently drop contributions for up to 99 steps
+    pending_overflow = None
+    total_dropped_inst = 0
+    total_dropped_blocks = 0
     for it in range(start_iter, cfg.iterations + 1):
+        if pending_overflow is not None:
+            ov, bov = (int(x) for x in pending_overflow)
+            pending_overflow = None
+            if ov > 0:
+                total_dropped_inst += ov
+                new_budget = cfg.raster.max_instances * 2
+                print(
+                    f"  instance budget overflow ({ov} dropped) — "
+                    f"growing max_instances {cfg.raster.max_instances} → {new_budget}",
+                    flush=True,
+                )
+                cfg = dataclasses.replace(
+                    cfg, raster=dataclasses.replace(cfg.raster, max_instances=new_budget)
+                )
+            if bov > 0 and cfg.raster.max_blocks:
+                total_dropped_blocks += bov
+                new_blocks = cfg.raster.max_blocks * 2
+                print(
+                    f"  block budget overflow ({bov} blocks) — "
+                    f"growing max_blocks {cfg.raster.max_blocks} → {new_blocks}",
+                    flush=True,
+                )
+                cfg = dataclasses.replace(
+                    cfg, raster=dataclasses.replace(cfg.raster, max_blocks=new_blocks)
+                )
         if not order:
             order = list(range(n_views))
             rng.shuffle(order)
@@ -293,6 +325,10 @@ def train(
 
         batch = build_view_batch(cam, vi, cfg, src_cam, src_depth)
         ts, metrics = train_step(ts, batch, cfg, use_exposure=opt_cfg.use_exposure)
+        pending_overflow = (
+            metrics.get("overflow", 0),
+            metrics.get("block_overflow", 0),
+        )
         ts, dens_info = maybe_host_side_schedule(ts, cfg, scene_extent=scene.extent)
         if dens_info is not None:
             print(
@@ -321,29 +357,6 @@ def train(
                 f"({(time.time() - t0):.1f}s)",
                 flush=True,
             )
-            if m.get("overflow", 0) > 0:
-                # auto re-budget (SURVEY §7.3 #1 "occasional host-side
-                # re-budgeting"): double the static instance budget; the next
-                # step recompiles once at the new shape
-                new_budget = cfg.raster.max_instances * 2
-                print(
-                    f"  instance budget overflow ({int(m['overflow'])} dropped) — "
-                    f"growing max_instances {cfg.raster.max_instances} → {new_budget}",
-                    flush=True,
-                )
-                cfg = dataclasses.replace(
-                    cfg, raster=dataclasses.replace(cfg.raster, max_instances=new_budget)
-                )
-            if m.get("block_overflow", 0) > 0 and cfg.raster.max_blocks:
-                new_blocks = cfg.raster.max_blocks * 2
-                print(
-                    f"  block budget overflow ({int(m['block_overflow'])} blocks) — "
-                    f"growing max_blocks {cfg.raster.max_blocks} → {new_blocks}",
-                    flush=True,
-                )
-                cfg = dataclasses.replace(
-                    cfg, raster=dataclasses.replace(cfg.raster, max_blocks=new_blocks)
-                )
         if (
             model_cfg.model_path
             and pipe_cfg.debug_panel_every > 0
@@ -355,14 +368,47 @@ def train(
                 ts, os.path.join(model_cfg.model_path, "point_cloud"), it
             )
             print(f"saved checkpoint → {d}", flush=True)
+    if total_dropped_inst or total_dropped_blocks:
+        print(
+            f"run summary: {total_dropped_inst} instances and "
+            f"{total_dropped_blocks} kernel blocks were dropped by budget "
+            f"overflows before re-budgeting caught up",
+            flush=True,
+        )
     return ts
 
 
-def _cache_images(model_cfg) -> bool:
-    """Keep decoded images in memory. Large chunked scenes (≤1500 cams per
-    chunk, make_chunk.py) fit comfortably; revisit if full-scene training at
-    original resolution ever exceeds host RAM."""
-    return True
+def _available_ram_bytes() -> int:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 8 << 30  # conservative default when /proc is unavailable
+
+
+def _cache_images(model_cfg, scene_info=None) -> bool:
+    """Decoded-image caching policy (ModelConfig.cache_images).
+
+    "always"/"never" are explicit; "auto" estimates the decoded float32
+    footprint from the COLMAP intrinsics (known before any image is decoded)
+    and caches only when it fits in <40% of available RAM — otherwise the
+    lazy CameraDataset path (camera_utils.py:122-144 semantics) decodes per
+    step. Estimate uses pre-downscale sizes, so it is conservative."""
+    mode = getattr(model_cfg, "cache_images", "auto")
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    if scene_info is None:
+        return True
+    bytes_needed = sum(
+        int(c.width) * int(c.height) * 3 * 4
+        for c in scene_info.train_cameras + scene_info.test_cameras
+    )
+    return bytes_needed < 0.4 * _available_ram_bytes()
 
 
 def main(argv=None):

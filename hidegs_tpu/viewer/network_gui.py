@@ -33,6 +33,14 @@ class NetworkGUI:
         self.listener.settimeout(0)
         self.conn: Optional[socket.socket] = None
 
+    def close(self):
+        if self.conn is not None:
+            try:
+                self.conn.close()
+            finally:
+                self.conn = None
+        self.listener.close()
+
     def try_connect(self):
         if self.conn is not None:
             return

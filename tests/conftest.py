@@ -21,3 +21,33 @@ assert jax.devices()[0].platform == "cpu", (
     "tests must run on CPU; got " + jax.devices()[0].platform
 )
 assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
+
+
+# ---------------------------------------------------------------- test tiers
+# Default tier: every test not marked `slow` (target: minutes, CI-friendly).
+# Full tier: `pytest --runslow` additionally runs the >20s convergence /
+# interpret-mode-gradient tests. Documented in README (testing section).
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (>20s: convergence runs, "
+             "interpret-mode Pallas gradient checks)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test, excluded from the default tier"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier — pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -57,6 +57,7 @@ def colmap_scene(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(colmap_scene, tmp_path):
     from hidegs_tpu.train.trainer import train
 
@@ -100,6 +101,7 @@ def test_trainer_end_to_end(colmap_scene, tmp_path):
     assert panels, "expected frequency debug panels in freq_debug/"
 
 
+@pytest.mark.slow
 def test_evaluate_end_to_end(colmap_scene, tmp_path):
     from hidegs_tpu.evaluate import main as eval_main
     from hidegs_tpu.train.trainer import train

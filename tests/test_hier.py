@@ -322,6 +322,7 @@ def test_appearance_filter_near_cameras_keeps_everything():
     assert hf.num_nodes == h.num_nodes
 
 
+@pytest.mark.slow
 def test_anchors_roundtrip_and_freeze(tmp_path):
     from hidegs_tpu.hier.refine import compute_anchors
 

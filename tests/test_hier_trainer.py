@@ -1,4 +1,5 @@
 """Hierarchy post-optimization + appearance model."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ from hidegs_tpu.train.hier_trainer import post_optimize, hierarchy_from_state
 from hidegs_tpu.train.losses import psnr
 
 
+@pytest.mark.slow
 def test_post_optimize_improves_loss():
     n = 40
     scene = make_toy_gaussians(n, seed=6)

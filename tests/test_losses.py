@@ -1,4 +1,5 @@
 """Losses, SSIM, frequency regularizer."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -162,6 +163,7 @@ def test_homography_matches_projection_on_plane():
     np.testing.assert_allclose(np.asarray(uv_h), np.asarray(uv_direct), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_multi_view_losses_nonzero_on_real_pair():
     from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
     from hidegs_tpu.raster.api import RasterConfig, render

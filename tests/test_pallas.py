@@ -26,7 +26,15 @@ def render_both(n=250, h=64, w=80, seed=0, geo=True, tile=16, mm=False):
     return out_jnp, out_pl
 
 
-@pytest.mark.parametrize("tile,mm", [(16, False), (32, False), (16, True), (32, True)])
+@pytest.mark.parametrize(
+    "tile,mm",
+    [
+        pytest.param(16, False, marks=pytest.mark.slow),
+        (32, False),
+        pytest.param(16, True, marks=pytest.mark.slow),
+        (32, True),
+    ],
+)
 def test_pallas_forward_matches_jnp(tile, mm):
     # tile=32 is the production default (config.PipelineConfig.tile); tile=16
     # is the reference's block size (config.h:16-17) — both must agree with
@@ -45,7 +53,14 @@ def test_pallas_forward_matches_jnp(tile, mm):
     )
 
 
-@pytest.mark.parametrize("tile,mm", [(16, False), (32, False), (16, True)])
+@pytest.mark.parametrize(
+    "tile,mm",
+    [
+        pytest.param(16, False, marks=pytest.mark.slow),
+        (32, False),
+        pytest.param(16, True, marks=pytest.mark.slow),
+    ],
+)
 def test_pallas_gradients_match_jnp(tile, mm):
     scene = make_toy_gaussians(120, seed=1)
     cam = ring_camera(0, height=48, width=48)
@@ -74,6 +89,7 @@ def test_pallas_gradients_match_jnp(tile, mm):
         np.testing.assert_allclose(b / denom, a / denom, atol=5e-3, err_msg=name)
 
 
+@pytest.mark.slow
 def test_pallas_backend_in_train_step():
     """The pallas custom-VJP path composes with the full jitted train step."""
     from hidegs_tpu.model.gaussians import init_from_points

@@ -1,4 +1,5 @@
 """Multi-device (8 virtual CPU) view-parallel training test."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +28,7 @@ def setup(n=60, n_views=8):
     return cams, gts, state
 
 
+@pytest.mark.slow
 def test_dp_step_runs_on_mesh():
     assert jax.device_count() >= 8
     cams, gts, state = setup()
@@ -49,6 +51,7 @@ def test_dp_step_runs_on_mesh():
     assert float(jnp.abs(ts.gaussians.params.sh_dc).max()) > 0
 
 
+@pytest.mark.slow
 def test_dp_matches_sequential_gradients():
     """One DP step over V views == averaged-loss sequential semantics:
     verify the param update direction is consistent with per-view steps by
@@ -153,6 +156,7 @@ def test_band_parallel_step_over_mesh():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_dp_bf16_grad_reduction_matches_f32():
     """The compressed-wire (bf16 psum via shard_map) step tracks the implicit
     f32-GSPMD step closely: same first-step update direction, loss converges.

@@ -77,6 +77,7 @@ def two_cluster_scene(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end(two_cluster_scene, tmp_path):
     from hidegs_tpu.hier.io import read_hier
     from hidegs_tpu.pipeline import run_pipeline

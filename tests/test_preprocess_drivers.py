@@ -134,6 +134,7 @@ def test_generate_depth_maps_command_backend(tmp_path):
     assert argv == ["--flag", str(images), str(tmp_path / "out")]
 
 
+@pytest.mark.slow
 def test_generate_depth_no_predictor_errors(tmp_path):
     from hidegs_tpu.preprocess.monodepth import generate_depth_maps
 

@@ -1,4 +1,5 @@
 """End-to-end training smoke tests on a toy scene (BASELINE config 2 analog)."""
+import pytest
 import dataclasses
 
 import jax
@@ -57,6 +58,7 @@ def mean_psnr(ts, cams, gts):
     return np.mean(vals)
 
 
+@pytest.mark.slow
 def test_training_improves_psnr():
     cams, gts, state = make_problem()
     cfg = TrainConfig(
@@ -86,6 +88,7 @@ def test_training_improves_psnr():
     assert int(ts.step) == 120
 
 
+@pytest.mark.slow
 def test_train_step_with_all_losses_runs():
     """Exercise depth + single-view + multi-view + exposure paths in one jit."""
     from hidegs_tpu.train.geometric import MultiViewBatch

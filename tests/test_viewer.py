@@ -11,6 +11,7 @@ import json
 import socket
 import struct
 import threading
+import time
 
 import numpy as np
 
@@ -63,6 +64,15 @@ def _reference_view_matrix(R, t):
     return [float(x) for x in view.reshape(-1)]
 
 
+def _poll_until_served(gui, render_fn, verify, deadline_s=15.0):
+    t_end = time.monotonic() + deadline_s
+    while time.monotonic() < t_end:
+        if gui.poll(render_fn, verify=verify) is not None:
+            return
+        time.sleep(0.002)
+    raise AssertionError("GUI never served the client within the deadline")
+
+
 def test_network_gui_round_trip():
     gui = NetworkGUI(port=0)
     port = gui.listener.getsockname()[1]
@@ -100,11 +110,11 @@ def test_network_gui_round_trip():
         img[1, 0, 0] = 0.5  # one marker pixel
         return img
 
-    # poll until the client's request lands (accept is non-blocking)
-    for _ in range(2000):
-        if gui.poll(render_fn, verify="modelpath") is not None:
-            break
+    # poll until the client's request lands (accept is non-blocking); use a
+    # wall-clock deadline — a fixed iteration count was flaky under load
+    _poll_until_served(gui, render_fn, "modelpath")
     th_client.join(timeout=10)
+    gui.close()
     assert not th_client.is_alive()
 
     assert seen["verify"] == "modelpath"
@@ -136,10 +146,9 @@ def test_network_gui_empty_resolution_skips_render():
         calls.append(1)
         return np.zeros((3, 1, 1), np.float32)
 
-    for _ in range(2000):
-        if gui.poll(render_fn, verify="v") is not None:
-            break
+    _poll_until_served(gui, render_fn, "v")
     th_client.join(timeout=10)
+    gui.close()
     assert not th_client.is_alive()
     assert done["verify"] == "v"
     assert not calls
