@@ -91,6 +91,19 @@ def masked_adam_update(
     return new_params, AdamState(m=new_m, v=new_v, step=step)
 
 
+def reset_opacity_moments(opt: AdamState) -> AdamState:
+    """Zero the opacity group's Adam moments — the reference's reset_opacity
+    replaces the optimizer tensor with zeroed exp_avg/exp_avg_sq for that
+    param group (gaussian_model.py:542-560 via replace_tensor_to_optimizer).
+    Without this, stale second moments keep the post-reset opacity step tiny
+    and recovery from the clamp takes hundreds of iterations (the eval
+    craters observed at reset steps in docs/convergence_r1_fixed.json)."""
+    return opt._replace(
+        m=opt.m._replace(opacity=jnp.zeros_like(opt.m.opacity)),
+        v=opt.v._replace(opacity=jnp.zeros_like(opt.v.opacity)),
+    )
+
+
 def reset_moments_at(opt: AdamState, mask: jnp.ndarray) -> AdamState:
     """Zero Adam state where mask is True — the padded-buffer equivalent of
     the reference's optimizer tensor surgery on densify/prune

@@ -27,6 +27,7 @@ def make_dp_train_step(
     mesh: Mesh,
     use_exposure: bool = False,
     grad_reduce_dtype: Optional[jnp.dtype] = None,
+    replicate_preprocessed: bool = False,
 ):
     """Build a jitted view-parallel step. `batch` is a ViewBatch whose leaves
     carry a leading view axis V (= mesh 'data' size). Returns
@@ -41,6 +42,23 @@ def make_dp_train_step(
 
     repl = NamedSharding(mesh, P())
     shard_view = NamedSharding(mesh, P("data"))
+
+    if replicate_preprocessed:
+        # Gaussian-sharded runs: preprocessing stays model-parallel, then the
+        # compacted screen-space rows are replicated in ONE C-sized
+        # all-gather before instance expansion — without this, GSPMD resolves
+        # the expansion gather from a model-sharded operand as zero-fill +
+        # an all-reduce over the (V·max_instances, 12) instance stream, which
+        # scales with the instance budget instead of the capacity
+        # (docs/SHARDING.md).
+        import dataclasses as _dc
+
+        def _repl_pre(pre):
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, repl), pre
+            )
+
+        cfg = _dc.replace(cfg, raster=_dc.replace(cfg.raster, pre_constraint=_repl_pre))
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(ts: TrainState, batch: ViewBatch) -> Tuple[TrainState, dict]:

@@ -50,6 +50,13 @@ class RasterConfig:
     # gradient reductions as MXU matmuls against a tile-centered pixel basis
     # instead of VPU elementwise + cross-sublane reductions
     mm_geom: bool = _MM_GEOM_DEFAULT
+    # optional hook applied to the PreprocessedGaussians pytree before
+    # binning. Used by gaussian-sharded (model-axis) runs to insert a
+    # with_sharding_constraint that replicates the compacted screen-space
+    # rows: one C×~16 all-gather instead of GSPMD's zero-fill+psum over the
+    # V·max_instances expansion (docs/SHARDING.md). Must be a hashable
+    # callable (module-level fn or functools.partial); None = no-op.
+    pre_constraint: Optional[object] = None
 
 
 def render(
@@ -89,6 +96,9 @@ def render(
         antialias=config.antialias,
         mean2d_offset=mean2d_offset,
     )
+
+    if config.pre_constraint is not None:
+        pre = config.pre_constraint(pre)
 
     if config.backend == "oracle":
         from hidegs_tpu.raster.oracle import render_oracle

@@ -310,5 +310,13 @@ def maybe_host_side_schedule(ts: TrainState, cfg: TrainConfig, scene_extent: flo
         if step % cfg.densify_interval == 0:
             ts, info = densify_step(ts, scene_extent, cfg)
         if step % cfg.opacity_reset_interval == 0:
-            ts = ts._replace(gaussians=reset_opacity(ts.gaussians))
+            # clamp to 0.01 AND zero the opacity Adam moments, matching the
+            # reference's replace_tensor_to_optimizer surgery
+            # (gaussian_model.py:542-560) — see reset_opacity_moments
+            from hidegs_tpu.model.adam import reset_opacity_moments
+
+            ts = ts._replace(
+                gaussians=reset_opacity(ts.gaussians),
+                opt=reset_opacity_moments(ts.opt),
+            )
     return ts, info

@@ -195,3 +195,36 @@ def test_dp_bf16_grad_reduction_matches_f32():
         ts, m = step16(ts, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] - 0.003, losses
+
+
+def test_replicate_preprocessed_collective_pattern():
+    """Gaussian-sharded runs with replicate_preprocessed must resolve the
+    instance-expansion gather with a C-sized all-gather of the compacted
+    screen rows, NOT a V*max_instances-sized all-reduce (docs/SHARDING.md)."""
+    import re
+
+    cams, gts, state = setup(n=64, n_views=2)
+    mesh = make_mesh(8, data=2, model=4)
+    cfg = TrainConfig(
+        iterations=100, raster=RCFG, freq_warmup=10_000, single_view_weight=0.0
+    )
+    step, place = make_dp_train_step(cfg, mesh, replicate_preprocessed=True)
+    ts = init_train_state(state, num_images=2)
+    batch = stack_view_batches(
+        [ViewBatch(cam=cams[i], image=gts[i], image_idx=jnp.int32(i)) for i in range(2)]
+    )
+    ts, batch = place(ts, batch, shard_gaussians=True)
+    txt = step.lower(ts, batch).compile().as_text()
+    inst = 2 * RCFG.max_instances  # V * max_instances
+    bad = [
+        ln for ln in txt.splitlines()
+        if "all-reduce(" in ln and f"{inst}" in ln.split("=")[0]
+    ]
+    assert not bad, f"instance-sized all-reduce survived: {bad[:2]}"
+    # and the step still runs and learns
+    losses = []
+    for _ in range(5):
+        ts, m = step(ts, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

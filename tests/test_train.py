@@ -135,3 +135,35 @@ def test_train_step_with_all_losses_runs():
         assert np.isfinite(leaf).all(), f"non-finite {name} after step"
     # exposure actually moved
     assert float(jnp.abs(ts2.exposure - jnp.zeros((N_VIEWS, 3, 4)).at[:, :, :3].set(jnp.eye(3))).max()) > 0
+
+
+def test_opacity_reset_zeroes_opacity_moments():
+    """reset_opacity at the schedule boundary must also zero the opacity
+    Adam moments (reference reset_opacity + replace_tensor_to_optimizer,
+    gaussian_model.py:542-560) so recovery from the clamp is not throttled
+    by stale second moments."""
+    from hidegs_tpu.model.adam import reset_opacity_moments
+
+    cams, gts, state = make_problem()
+    cfg = TrainConfig(
+        iterations=10, raster=RCFG, freq_warmup=0,
+        densify_from=1, densify_until=10, densify_interval=100,
+        opacity_reset_interval=3,
+    )
+    ts = init_train_state(state, num_images=N_VIEWS)
+    for it in range(1, 4):
+        batch = ViewBatch(cam=cams[0], image=gts[0], image_idx=jnp.int32(0))
+        ts, _ = train_step(ts, batch, cfg)
+        ts, _ = maybe_host_side_schedule(ts, cfg, scene_extent=3.0)
+    # step 3 hit the reset: opacity moments zeroed, others untouched
+    assert float(jnp.abs(ts.opt.m.opacity).max()) == 0.0
+    assert float(jnp.abs(ts.opt.v.opacity).max()) == 0.0
+    assert float(jnp.abs(ts.opt.v.xyz).max()) > 0.0
+    # opacities clamped to <= 0.01 (+sigmoid tolerance)
+    from hidegs_tpu.model.gaussians import GaussianState
+    opac = jax.nn.sigmoid(ts.gaussians.params.opacity)
+    alive = ts.gaussians.alive & ~ts.gaussians.protected
+    assert float(jnp.where(alive, opac, 0.0).max()) <= 0.0101
+    # sanity on the helper itself
+    o2 = reset_opacity_moments(ts.opt)
+    assert float(jnp.abs(o2.m.opacity).max()) == 0.0
