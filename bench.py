@@ -43,9 +43,11 @@ def main():
     # trainer applies the same policy via the overflow/block_overflow outputs
     ty, tx = tile_grid(H, W, tile)
     probe = 1 << 20
+    from hidegs_tpu.raster.api import round_budget
+
     tb0 = bin_gaussians(preprocess_gaussians(*scene, cam), ty, tx, probe, tile)
     assert int(tb0.overflow) == 0
-    max_inst = 1 << (int(int(tb0.num_instances) * 1.12) - 1).bit_length()
+    max_inst = round_budget(int(int(tb0.num_instances) * 1.12))
     blocks = int(needed_blocks(tb0.tile_count))
     max_blocks = -(-int(blocks * 1.12) // 256) * 256
     # auto-quantized single-key sort: reorders only near-equal depths

@@ -38,9 +38,11 @@ def fit_budgets(scene, cam, tile, probe_budget=1 << 24):
     ty, tx = B.tile_grid(cam.height, cam.width, tile)
     pre = preprocess_gaussians(*scene, cam)
     tb = B.bin_gaussians(pre, ty, tx, probe_budget, tile)
+    from hidegs_tpu.raster.api import round_budget
+
     n_inst = int(tb.num_instances)
     assert int(tb.overflow) == 0, "probe budget too small"
-    max_inst = 1 << (int(n_inst * 1.12) - 1).bit_length()
+    max_inst = round_budget(int(n_inst * 1.12))
     blocks = int(needed_blocks(tb.tile_count))
     max_blocks = -(-int(blocks * 1.12) // 256) * 256
     post_cull = int(jnp.sum(tb.tile_count))
@@ -68,6 +70,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--stages", action="store_true", help="per-stage breakdown")
     ap.add_argument("--mm", action="store_true", help="moment-matmul backward")
+    ap.add_argument("--grad_reduce", default="auto",
+                    choices=["auto", "scatter", "prefix"])
     ap.add_argument("--altitude", type=float, default=14.0)
     args = ap.parse_args()
 
@@ -85,6 +89,7 @@ def main():
     cfg = RasterConfig(
         backend="pallas", tile=tile, max_instances=max_inst,
         max_blocks=max_blocks, depth_sort_bits=-1, mm_geom=args.mm,
+        grad_reduce=args.grad_reduce,
     )
     target = jnp.zeros((3, H, W))
 
@@ -158,12 +163,29 @@ def main():
             )
         )
         (d_inst, _) = timeit("blend bwd kernel", bwd_k, attrs, tables, g_tiles, iters=args.iters)
-        seg_fn = jax.jit(
-            lambda d: jax.ops.segment_sum(
-                d[:14].T, d[14].astype(jnp.int32), num_segments=N + 1
+        if args.grad_reduce == "scatter":
+            seg_fn = jax.jit(
+                lambda d: jax.ops.segment_sum(
+                    d[:14].T, d[14].astype(jnp.int32), num_segments=N + 1
+                )
             )
-        )
-        timeit("instance->gaussian segment sum", seg_fn, d_inst, iters=args.iters)
+            timeit("instance->gaussian segment sum", seg_fn, d_inst, iters=args.iters)
+        else:
+            from hidegs_tpu.raster.pallas_vjp import (
+                _expansion_row_index, _prefix_fold,
+            )
+
+            nb = tables.tile_of.shape[0]
+
+            def reduce_prefix(d, t_, b_):
+                row = _expansion_row_index(t_, b_.slot_s, nb)
+                d_ext = jnp.concatenate([d[:14].T, jnp.zeros((1, 14))])
+                return _prefix_fold(d_ext[row], b_.g_start)
+
+            timeit(
+                "instance->gaussian reduce (prefix)",
+                jax.jit(reduce_prefix), d_inst, tables, tb, iters=args.iters,
+            )
 
         def pre_loss(*a):
             p = preprocess_gaussians(*a, cam)

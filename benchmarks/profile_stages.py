@@ -119,8 +119,8 @@ def main():
 
     def core_loss(packed, tb):
         out, _ = blend_packed(
-            packed, tb.gauss_id, tb.tile_start, tb.tile_count, tiles_y, tiles_x, TILE,
-            num_blocks,
+            packed, tb.gauss_id, tb.tile_start, tb.tile_count, tb.slot_s, tb.owner,
+            tb.g_start, tiles_y, tiles_x, TILE, num_blocks,
         )
         return jnp.sum(out)
 

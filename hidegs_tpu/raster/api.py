@@ -50,6 +50,12 @@ class RasterConfig:
     # gradient reductions as MXU matmuls against a tile-centered pixel basis
     # instead of VPU elementwise + cross-sublane reductions
     mm_geom: bool = _MM_GEOM_DEFAULT
+    # pallas backend: instance→gaussian gradient fold. "scatter" is XLA's
+    # segment-sum (row-serial scatter-add on TPU: fast at small budgets,
+    # 74.6 ms of a 126 ms step at 1M gaussians); "prefix" is the scatter-free
+    # expansion-order prefix fold (pallas_vjp._prefix_fold); "auto" picks by
+    # instance budget (crossover measured on v5e, docs/BENCHMARKS.md r2).
+    grad_reduce: str = "auto"
     # optional hook applied to the PreprocessedGaussians pytree before
     # binning. Used by gaussian-sharded (model-axis) runs to insert a
     # with_sharding_constraint that replicates the compacted screen-space
@@ -117,9 +123,15 @@ def render(
         from hidegs_tpu.raster.pallas_blend import blend_tiles_pallas
         from hidegs_tpu.raster.pallas_vjp import needed_blocks
 
+        grad_reduce = config.grad_reduce
+        if grad_reduce == "auto":
+            # measured crossover on v5e: the scatter-add's ~105 ns/row serial
+            # cost overtakes the prefix fold's fixed sort+gather+cumsum
+            # passes around ~2^18 instances
+            grad_reduce = "scatter" if config.max_instances <= (1 << 18) else "prefix"
         planes = blend_tiles_pallas(
             pre, tb, tiles_y, tiles_x, config.tile, config.max_blocks,
-            mm=config.mm_geom,
+            mm=config.mm_geom, grad_reduce=grad_reduce,
         )
         if config.max_blocks:
             block_overflow = jnp.maximum(
@@ -201,8 +213,20 @@ def scatter_subset_visibility(
     return jnp.zeros((n_full,), bool).at[indices].set(vis_subset)
 
 
+def round_budget(want: int) -> int:
+    """Round a budget up to the next quarter-octave step (m·2^k, m ∈
+    {16,20,24,28}) — at most +25% overprovisioning (vs +100% for pure
+    powers of two, which at 1M gaussians doubled the sort/expand/reduce
+    streams) while keeping the compile cache to ≤4 shapes per octave."""
+    want = max(int(want), 1 << 10)
+    k = (want - 1).bit_length() - 5  # 16·2^k < want ≤ 32·2^k
+    for m in (16, 20, 24, 28):
+        if m << k >= want:
+            return m << k
+    return 32 << k
+
+
 def suggest_max_instances(n_gaussians: int, mult: int = 8, floor: int = 1 << 16) -> int:
-    """Heuristic static budget: `mult` tile-instances per gaussian, rounded to
-    a power of two so recompiles are rare when N changes."""
-    want = max(floor, mult * n_gaussians)
-    return 1 << (want - 1).bit_length()
+    """Heuristic static budget: `mult` tile-instances per gaussian, rounded
+    up to a quarter-octave step so recompiles are rare when N changes."""
+    return round_budget(max(floor, mult * n_gaussians))

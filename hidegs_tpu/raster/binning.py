@@ -39,6 +39,20 @@ class TileBinning(NamedTuple):
     tile_count: jnp.ndarray  # (num_tiles,) int32 instances per tile
     num_instances: jnp.ndarray  # () int32 total wanted instances (pre-truncation)
     overflow: jnp.ndarray  # () int32 instances dropped by the static budget
+    # sorted-position → pre-sort EXPANSION slot. Expansion order is
+    # gaussian-major (rect slots of one gaussian are contiguous), so routing
+    # per-instance gradients back through this permutation yields a stream
+    # whose gaussian ids are NON-decreasing — the key to replacing the
+    # duplicate-colliding scatter-add (which serializes on TPU) with a
+    # unique-index scatter + sorted-segment reduction (pallas_vjp).
+    slot_s: jnp.ndarray  # (I,) int32
+    # expansion slot → owning gaussian (non-decreasing; N beyond num_instances)
+    owner: jnp.ndarray  # (I,) int32
+    # per-gaussian expansion span boundaries: g_start[i] = first expansion
+    # slot of gaussian i, g_start[N] = total wanted instances. Clamped to the
+    # budget so prefix-sum boundary differences see exactly the rows that
+    # were kept (overflow drops tails).
+    g_start: jnp.ndarray  # (N+1,) int32
 
 
 def tile_grid(height: int, width: int, tile: int = TILE):
@@ -242,6 +256,7 @@ def bin_gaussians(
     tid = jnp.where(valid, tid, num_tiles)  # sentinel sorts to the end
     gid = jnp.where(valid, g, N)
 
+    owner = jnp.where(slots < total, g, N).astype(jnp.int32)
     depth = jnp.where(valid, rows[:, 4], jnp.inf)
     if depth_bits:
         # single-key sort: [tile | quantized depth] packed in int32 (the
@@ -255,10 +270,14 @@ def bin_gaussians(
         dq = jnp.clip(((depth - dmin) * scale), 0, (1 << depth_bits) - 1).astype(jnp.int32)
         dq = jnp.where(valid, dq, (1 << depth_bits) - 1)
         key = (tid << depth_bits) | dq
-        key_s, gid_s = jax.lax.sort((key, gid), num_keys=1, is_stable=True)
+        key_s, gid_s, slot_s = jax.lax.sort(
+            (key, gid, slots), num_keys=1, is_stable=True
+        )
         tid_s = key_s >> depth_bits
     else:
-        tid_s, _, gid_s = jax.lax.sort((tid, depth, gid), num_keys=2, is_stable=True)
+        tid_s, _, gid_s, slot_s = jax.lax.sort(
+            (tid, depth, gid, slots), num_keys=2, is_stable=True
+        )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tid_s, tile_ids, side="left").astype(jnp.int32)
@@ -271,6 +290,12 @@ def bin_gaussians(
         tile_count=tile_end - tile_start,
         num_instances=total.astype(jnp.int32),
         overflow=jnp.maximum(total - max_instances, 0).astype(jnp.int32),
+        slot_s=slot_s,
+        owner=owner,
+        g_start=jnp.clip(
+            jnp.concatenate([starts, jnp.asarray(total).reshape(1)]),
+            0, max_instances,
+        ).astype(jnp.int32),
     )
 
 

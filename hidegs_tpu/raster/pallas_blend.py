@@ -392,7 +392,7 @@ def finalize_tile_planes(
 
 def blend_tiles_pallas(
     pre, binning, tiles_y: int, tiles_x: int, tile: int = 16, max_blocks: int = 0,
-    mm: bool = False,
+    mm: bool = False, grad_reduce: str = "scatter",
 ):
     """Drop-in forward replacement for blend_jnp.blend_tiles (same output
     dict). Gradients flow through the custom VJP in pallas_vjp.py."""
@@ -405,11 +405,15 @@ def blend_tiles_pallas(
         binning.gauss_id,
         binning.tile_start,
         binning.tile_count,
+        binning.slot_s,
+        binning.owner,
+        binning.g_start,
         tiles_y,
         tiles_x,
         tile,
         max_blocks,
         mm,
+        grad_reduce,
     )
     planes = tiles_to_planes(tile_out, tiles_y, tiles_x, tile)
     planes["out_observe"] = observe[:N].astype(jnp.int32)

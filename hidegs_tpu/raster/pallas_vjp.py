@@ -239,10 +239,10 @@ def blend_tiles_pallas_bwd(
 # ------------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def blend_packed(
-    packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks=0,
-    mm=False,
+    packed, gid, tile_start, tile_count, slot_s, owner, g_start,
+    tiles_y, tiles_x, tile, max_blocks=0, mm=False, grad_reduce="scatter",
 ):
     """(N+1, ATTR) per-gaussian attribute rows + sorted instance ids/ranges →
     ((T, P, OUT_CH) tile planes, (N+1,) per-gaussian observe counts).
@@ -256,9 +256,22 @@ def blend_packed(
 
     `mm` (static) selects the matmul-geometry kernels (quadratic form and
     gradient reductions on the MXU against a tile-centered pixel basis).
+
+    `grad_reduce` (static) picks the instance→gaussian gradient fold:
+      "scatter" — direct segment-sum over the kernel's block stream. XLA's
+          scatter-add is row-serial on TPU (~105 ns/row): fine at small
+          budgets, 74.6 ms of a 126 ms step at 1M gaussians / 2 Mpix.
+      "prefix"  — scatter-free: route rows back to EXPANSION order (where
+          each gaussian's instances are contiguous at statically known
+          boundaries) via a tiny block scatter + cummax + one sort + one
+          gather, then an exclusive prefix sum with boundary differences
+          (_expansion_row_index/_prefix_fold). f32 prefix cancellation is
+          bounded by the global gradient-magnitude sum (validated ~1e-6
+          relative against "scatter" on the bench scene).
     """
     out, _res = _blend_packed_fwd(
-        packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks, mm
+        packed, gid, tile_start, tile_count, slot_s, owner, g_start,
+        tiles_y, tiles_x, tile, max_blocks, mm, grad_reduce,
     )
     return out
 
@@ -276,9 +289,57 @@ def _tables_and_attrs(
     return N, num_blocks, tables, attrs
 
 
+def _expansion_row_index(tables, slot_s, num_blocks):
+    """Block-stream row index of every EXPANSION slot (R = num_blocks·CHUNK
+    sentinel for slots whose instance was culled / over budget).
+
+    TPU cost profile (docs/BENCHMARKS.md r2 primitives): scatters are
+    row-serial (~105 ns/row — 72 ms for 1M rows) and searchsorted is worse,
+    while gathers (~9 ns/row), sorts (~4 ms/1M) and cumsums (~3 ms/1M) are
+    fine. So everything here is built from a TINY (num_blocks-row) scatter,
+    cummax, and one sort:
+
+      * sorted-stream position j in block b sits at kernel row
+        b·CHUNK + (j − win_start[b]); the piecewise shift b·CHUNK −
+        win_start[b] is non-decreasing, so a num_blocks-sized scatter at the
+        window starts + a cummax materializes it per position;
+      * a position is covered iff j < win_start[b] + nvalid[b] — same
+        trick with cover_upto = cummax(scatter(win_start, win_start+nvalid));
+      * routing to expansion order inverts `slot_s` with ONE sort whose
+        payload is the (masked) row index.
+    """
+    I = slot_s.shape[0]
+    R = num_blocks * CHUNK
+    bidx = jnp.arange(num_blocks, dtype=jnp.int32)
+    ws = tables.win_start
+    shift = bidx * CHUNK - ws
+    zero = jnp.zeros((I,), jnp.int32)
+    shift_at = zero.at[jnp.clip(ws, 0, I - 1)].max(shift, mode="drop")
+    rowpos = jnp.arange(I, dtype=jnp.int32) + jax.lax.cummax(shift_at)
+    cover_at = zero.at[jnp.clip(ws, 0, I - 1)].max(ws + tables.nvalid, mode="drop")
+    covered = jnp.arange(I, dtype=jnp.int32) < jax.lax.cummax(cover_at)
+    rowpos = jnp.where(covered, jnp.clip(rowpos, 0, R - 1), R)
+    # invert the sort permutation: sorting (slot_s, rowpos) by slot_s leaves
+    # payload[k] = kernel row of expansion slot k
+    _, row_of_slot = jax.lax.sort((slot_s, rowpos), num_keys=1, is_stable=True)
+    return row_of_slot  # (I,) int32, R = "no row" sentinel
+
+
+def _prefix_fold(rows_exp, g_start):
+    """(I, K) expansion-order rows → (N, K) per-gaussian sums via one
+    exclusive prefix sum + boundary differences at the statically known
+    expansion spans (g_start from binning). No scatter, no searchsorted."""
+    pe = jnp.concatenate(
+        [jnp.zeros((1,) + rows_exp.shape[1:], rows_exp.dtype),
+         jnp.cumsum(rows_exp, axis=0)]
+    )
+    bounds = pe[g_start]  # (N+1, K)
+    return bounds[1:] - bounds[:-1]
+
+
 def _blend_packed_fwd(
-    packed, gid, tile_start, tile_count, tiles_y, tiles_x, tile, max_blocks=0,
-    mm=False,
+    packed, gid, tile_start, tile_count, slot_s, owner, g_start,
+    tiles_y, tiles_x, tile, max_blocks=0, mm=False, grad_reduce="scatter",
 ):
     N, num_blocks, tables, attrs = _tables_and_attrs(
         packed, gid, tile_start, tile_count, tiles_y, tiles_x, max_blocks
@@ -293,20 +354,27 @@ def _blend_packed_fwd(
     astart = jnp.cumsum(padded) - padded
     visited = (astart // CHUNK) < num_blocks
     tile_out = finalize_tile_planes(tile_out, tile_count, visited)
-    # num_segments=N drops the sentinel-id padding lanes (id N) instead of
-    # serializing a duplicate-heavy scatter (see _blend_packed_bwd)
-    observe = jnp.pad(
-        jax.ops.segment_sum(obs[0], obs[1].astype(jnp.int32), num_segments=N),
-        (0, 1),
-    )
+    if grad_reduce == "prefix":
+        row_of_slot = _expansion_row_index(tables, slot_s, num_blocks)
+        obs_ext = jnp.concatenate([obs[0], jnp.zeros((1,), jnp.float32)])
+        observe = _prefix_fold(obs_ext[row_of_slot][:, None], g_start)[:, 0]
+    else:
+        # num_segments=N drops the sentinel-id padding lanes (id N) instead
+        # of serializing a duplicate-heavy scatter (see _blend_packed_bwd)
+        observe = jax.ops.segment_sum(
+            obs[0], obs[1].astype(jnp.int32), num_segments=N
+        )
+    observe = jnp.pad(observe, (0, 1))
     # residual keeps the rendered planes: the backward's per-tile totals
     # derive from them directly (see module docstring)
-    return (tile_out, observe), (attrs, tables, tile_out, N, num_blocks)
+    return (tile_out, observe), (
+        attrs, tables, slot_s, g_start, tile_out, N, num_blocks
+    )
 
 
-def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, mm, res, cts):
+def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, mm, grad_reduce, res, cts):
     g_tiles, _g_observe = cts  # observe counts carry no gradient
-    attrs, tables, fwd_out, N, num_blocks = res
+    attrs, tables, slot_s, g_start, fwd_out, N, num_blocks = res
     col = jnp.arange(OUT_CH)
     g_ch = jnp.where(col[None, None, :] == 9, 0.0, g_tiles)
     # per-tile totals ride the unused cotangent channels: ch10 = G_total
@@ -320,16 +388,22 @@ def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, mm, res, cts):
     d_inst = blend_tiles_pallas_bwd(
         attrs, tables, g_aug, tiles_y, tiles_x, tile, num_blocks, sentinel=N, mm=mm
     )  # (ATTR, B*CHUNK); padding lanes: zero grads + sentinel ids
-    seg = d_inst[GID_CH].astype(jnp.int32)
     d_rows = d_inst[:GID_CH].T  # (B*CHUNK, GID_CH)
-    # num_segments=N (not N+1): every padding lane carries the sentinel id N,
-    # and a scatter-add with ~10^5 rows colliding on ONE index serializes on
-    # TPU (measured 57 ms → 31 ms at 500k gaussians); out-of-range indices
-    # are dropped instead. Row N is the zero-sentinel row whose cotangent is
-    # discarded anyway — pad it back as zeros.
-    d_packed = jax.ops.segment_sum(d_rows, seg, num_segments=N)
+    if grad_reduce == "prefix":
+        row_of_slot = _expansion_row_index(tables, slot_s, num_blocks)
+        d_ext = jnp.concatenate(
+            [d_rows, jnp.zeros((1, GID_CH), jnp.float32)]
+        )
+        d_packed = _prefix_fold(d_ext[row_of_slot], g_start)
+    else:
+        seg = d_inst[GID_CH].astype(jnp.int32)
+        # num_segments=N (not N+1): every padding lane carries the sentinel
+        # id N, and a scatter-add with ~10^5 rows colliding on ONE index
+        # serializes on TPU; out-of-range indices are dropped instead. Row N
+        # is the zero-sentinel row whose cotangent is discarded anyway.
+        d_packed = jax.ops.segment_sum(d_rows, seg, num_segments=N)
     d_packed = jnp.pad(d_packed, ((0, 1), (0, ATTR - GID_CH)))
-    return d_packed, None, None, None
+    return d_packed, None, None, None, None, None, None
 
 
 def needed_blocks(tile_count: jnp.ndarray) -> jnp.ndarray:
