@@ -179,7 +179,7 @@ def main():
     test_gts = [jnp.asarray(render_analytic_scene(c, SPHERES, SPHERE_COLORS))
                 for c in test_cams]
 
-    raster = RasterConfig(backend="pallas", tile=32, max_instances=1 << 19,
+    raster = RasterConfig(backend="pallas", tile=32, max_instances=1 << 17,
                           max_blocks=2048, depth_sort_bits=-1)
     report = {"steps": args.steps, "res": args.res, "configs": {}}
     for name in args.configs:

@@ -210,11 +210,19 @@ def render_analytic_scene(
     spheres: (K, 4) rows [cx, cy, cz, radius]; scene coords have +z up.
     """
     H, W = cam.height, cam.width
-    R = np.asarray(cam.R, np.float64)
-    t = np.asarray(cam.t, np.float64)
+    # ONE device_get for all camera leaves: per-field np.asarray() would make
+    # ~6 tiny device→host round-trips per camera, which on the tunneled-TPU
+    # host dominates (and wedges when the tunnel is degraded)
+    import jax
+
+    R_, t_, cx_, cy_, fx_, fy_ = jax.device_get(
+        (cam.R, cam.t, cam.cx, cam.cy, cam.fx, cam.fy)
+    )
+    R = np.asarray(R_, np.float64)
+    t = np.asarray(t_, np.float64)
     origin = -R.T @ t  # camera center in world
-    xs = (np.arange(W) + 0.5 - float(cam.cx)) / float(cam.fx)
-    ys = (np.arange(H) + 0.5 - float(cam.cy)) / float(cam.fy)
+    xs = (np.arange(W) + 0.5 - float(cx_)) / float(fx_)
+    ys = (np.arange(H) + 0.5 - float(cy_)) / float(fy_)
     dx, dy = np.meshgrid(xs, ys)  # (H, W)
     d_cam = np.stack([dx, dy, np.ones_like(dx)], axis=-1)
     d_world = d_cam @ R  # rows of R are camera axes => d_world = Rᵀ d_cam
