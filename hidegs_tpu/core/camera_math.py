@@ -109,18 +109,23 @@ def make_camera(
     height: int = 0,
     width: int = 0,
     dtype=jnp.float32,
+    xp=jnp,
 ) -> CameraParams:
+    """`xp=np` builds a HOST-resident camera (numpy leaves): jit tracing
+    converts them on use, while host-side consumers (the analytic GT
+    ray-caster, COLMAP writers) read them without device round-trips — on
+    the tunneled-TPU host a single tiny device→host fetch costs ~RTT."""
     if cx is None:
         cx = width / 2.0
     if cy is None:
         cy = height / 2.0
     return CameraParams(
-        R=jnp.asarray(R, dtype),
-        t=jnp.asarray(t, dtype),
-        fx=jnp.asarray(fx, dtype),
-        fy=jnp.asarray(fy, dtype),
-        cx=jnp.asarray(cx, dtype),
-        cy=jnp.asarray(cy, dtype),
+        R=xp.asarray(R, dtype),
+        t=xp.asarray(t, dtype),
+        fx=xp.asarray(fx, dtype),
+        fy=xp.asarray(fy, dtype),
+        cx=xp.asarray(cx, dtype),
+        cy=xp.asarray(cy, dtype),
         height=int(height),
         width=int(width),
     )

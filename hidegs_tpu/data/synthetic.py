@@ -69,7 +69,9 @@ def ring_camera(
     # rows of R are camera axes in world coords (x=right, y=down, z=fwd)
     R = np.stack([right, down, fwd], axis=0)
     t = -R @ pos
-    return make_camera(R, t, fx=focal, fy=focal, height=height, width=width)
+    # host-resident (xp=np): synthetic cameras feed both jitted renders and
+    # host-side consumers (analytic GT, COLMAP writers); see make_camera
+    return make_camera(R, t, fx=focal, fy=focal, height=height, width=width, xp=np)
 
 
 def make_uav_gaussians(
@@ -160,7 +162,9 @@ def nadir_grid_camera(
     down = np.cross(fwd, right)
     R = np.stack([right, down, fwd], axis=0)
     t = -R @ pos
-    return make_camera(R, t, fx=focal, fy=focal, height=height, width=width)
+    # host-resident (xp=np): synthetic cameras feed both jitted renders and
+    # host-side consumers (analytic GT, COLMAP writers); see make_camera
+    return make_camera(R, t, fx=focal, fy=focal, height=height, width=width, xp=np)
 
 
 def procedural_texture(u: np.ndarray, v: np.ndarray) -> np.ndarray:
