@@ -1,0 +1,117 @@
+"""Hierarchy LOD at scale (VERDICT r1 missing-item 5).
+
+The reference interpolates parent/child attributes inside preprocessCUDA
+(forward.cu:290-343); our design keeps the cut selection (hier/lod.py,
+markNodesForSize + computeTsIndexed as vectorized XLA) and the attribute
+interpolation (hier/interp.py, gathers + lerp fused by XLA into the
+preprocess) on the device side of one jit. Round 1 only exercised this at
+toy node counts; this harness builds a ~1M-leaf hierarchy (native C++
+builder), then measures on hardware:
+
+  * expand_to_size latency over the full node array per tau;
+  * render_hierarchy (cut → interp → full raster) latency and the
+    interpolation's share of it;
+  * cut sizes per tau (the LOD sweep of runtime_switching.cu:402-478).
+
+Writes docs/lod_scale_r2.json.
+
+Usage: python benchmarks/lod_scale.py [--n 1000000]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hidegs_tpu.data.synthetic import make_uav_gaussians, nadir_grid_camera
+    from hidegs_tpu.hier.build import build_hierarchy
+    from hidegs_tpu.hier.interp import interpolate_cut, render_hierarchy
+    from hidegs_tpu.hier.lod import expand_to_size
+    from hidegs_tpu.raster.api import RasterConfig, round_budget
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--taus", type=float, nargs="+",
+                    default=[0.0, 1.0, 3.0, 6.0, 15.0])
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--out", default="docs/lod_scale_r2.json")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    scene = make_uav_gaussians(n_ground=args.n, n_structs=128, seed=1,
+                               extent_xy=30.0)
+    P = int(scene.means3d.shape[0])
+    print(f"building hierarchy over {P} leaves (native builder)...", flush=True)
+    h = build_hierarchy(
+        np.asarray(scene.means3d), np.asarray(scene.quats),
+        np.asarray(scene.scales), np.asarray(scene.opacities),
+        np.asarray(scene.shs),
+    )
+    print(f"hierarchy: {h.num_points} points, {h.num_nodes} nodes "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    cam = nadir_grid_camera(0, 0, 1, 1, extent_xy=30.0, altitude=22.0,
+                            height=args.res, width=args.res)
+    arrays = (
+        jnp.asarray(h.pos), jnp.exp(jnp.asarray(h.scale)), jnp.asarray(h.rot),
+        jnp.asarray(h.alpha), jnp.asarray(h.shs),
+    )
+    nodes, boxes = jnp.asarray(h.nodes), jnp.asarray(h.boxes)
+    budget = round_budget(P)
+    rcfg = RasterConfig(backend="pallas", tile=32,
+                        max_instances=round_budget(1 << 21),
+                        depth_sort_bits=-1)
+
+    def timeit(fn, *a, iters=args.iters):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        tt = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return out, (time.perf_counter() - tt) / iters * 1e3
+
+    cut_fn = jax.jit(
+        lambda tau: expand_to_size(nodes, boxes, tau, cam.camera_center,
+                                   budget=budget, num_points=P)
+    )
+    interp_fn = jax.jit(lambda cut: interpolate_cut(cut, *arrays))
+    render_fn = jax.jit(
+        lambda cut: render_hierarchy(cut, *arrays, cam, config=rcfg)["render"]
+    )
+
+    rows = []
+    for tau in args.taus:
+        cut, cut_ms = timeit(cut_fn, jnp.float32(tau))
+        n_cut = int(cut.valid.sum())
+        _, interp_ms = timeit(interp_fn, cut)
+        img, render_ms = timeit(render_fn, cut)
+        rows.append({
+            "tau": tau, "cut": n_cut, "cut_ms": round(cut_ms, 2),
+            "interp_ms": round(interp_ms, 2), "render_ms": round(render_ms, 2),
+            "mean_px": round(float(jnp.mean(img)), 4),
+        })
+        print(f"tau={tau}: cut={n_cut} select={cut_ms:.2f}ms "
+              f"interp={interp_ms:.2f}ms render={render_ms:.2f}ms", flush=True)
+
+    out = {
+        "leaves": P, "nodes": int(h.num_nodes), "budget": budget,
+        "resolution": args.res, "sweep": rows,
+        "build_seconds": round(time.time() - t0, 1),
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    json.dump(out, open(args.out, "w"), indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
