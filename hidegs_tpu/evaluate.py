@@ -2,8 +2,10 @@
 
 Parity with eval.py (reference eval.py:275-427): loads a trained model at an
 iteration, renders train/test cameras, saves gt/render pngs, reports masked
-PSNR / SSIM / LPIPS per set. LPIPS requires a converted VGG weight file (see
-train/lpips.py); without one it is reported as NaN rather than failing.
+PSNR / SSIM / LPIPS per set. LPIPS uses a converted VGG weight file when one
+exists ("calibrated-vgg"); otherwise a deterministic seeded-random VGG
+fallback ("random-vgg", see train/lpips.py) so the metric is always finite.
+The kind used is recorded as `lpips_kind` in results.json and the printout.
 """
 from __future__ import annotations
 
@@ -114,15 +116,13 @@ def main(argv=None):
     cfg = RasterConfig(backend=pipe_cfg.raster_backend, tile=pipe_cfg.tile,
                        max_instances=pipe_cfg.max_instances)
 
-    lpips_fn = None
-    weights = args.lpips_weights or default_lpips_weights()
-    if weights:
-        from hidegs_tpu.train.lpips import load_lpips
+    from hidegs_tpu.train.lpips import default_lpips_fn
 
-        lpips_fn = load_lpips(weights)
+    weights = args.lpips_weights or default_lpips_weights()
+    lpips_fn, lpips_kind = default_lpips_fn(weights)
 
     out_dir = os.path.join(model_cfg.model_path, f"eval_{it}")
-    report = {}
+    report = {"lpips_kind": lpips_kind}
     if not args.skip_train:
         report["train"] = evaluate_set(
             "train", scene.train_cameras, arrays, cfg, out_dir, lpips_fn, not args.no_images
@@ -134,8 +134,10 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(report, f, indent=1)
+    print("lpips_kind", lpips_kind)
     for k, v in report.items():
-        print(k, v["mean"])
+        if isinstance(v, dict):
+            print(k, v["mean"])
     return report
 
 

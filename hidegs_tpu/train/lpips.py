@@ -6,10 +6,18 @@ Architecture parity with the reference's lpipsPyTorch
 unit-normalization, 1x1 linear heads, spatial mean, sum over taps.
 
 This environment has no torchvision and no network egress, so pretrained
-weights cannot be materialized here. `convert_torch_weights` turns the
-standard `lpips` pip package's VGG checkpoint into the .npz this module
-loads; until such a file is provided, eval reports LPIPS as NaN (PSNR/SSIM
-are always available).
+weights cannot be materialized here (verified: no .pth/.safetensors/.h5
+weight file >1MB exists anywhere in the image). `convert_torch_weights`
+turns the standard `lpips` pip package's VGG checkpoint into the .npz this
+module loads and takes priority whenever such a file is present.
+
+Without a weight file, `default_lpips_fn` falls back to a **deterministic
+seeded-random VGG16** ("random-vgg" LPIPS). Random-feature perceptual
+distance is a documented baseline in the original LPIPS paper (Zhang et al.
+2018, Table 5: untrained nets still correlate far above pixel metrics); it
+is monotone-useful for comparing checkpoints of the *same* run but its
+absolute values are NOT comparable to calibrated LPIPS numbers — every
+caller labels which kind was used (`lpips_kind` in eval reports).
 """
 from __future__ import annotations
 
@@ -78,8 +86,21 @@ def load_lpips(npz_path: str) -> Callable:
     return jax.jit(lambda a, b: lpips_distance(params, a, b))
 
 
+def default_lpips_fn(npz_path: str = "") -> tuple:
+    """Best-available LPIPS callable → (jitted fn, kind-label).
+
+    kind = "calibrated-vgg" when a converted weight file is given/exists,
+    else "random-vgg" (seeded, deterministic across runs — see module
+    docstring for what that does and does not mean).
+    """
+    if npz_path:
+        return load_lpips(npz_path), "calibrated-vgg"
+    params = random_lpips_params(jax.random.PRNGKey(0))
+    return jax.jit(lambda a, b: lpips_distance(params, a, b)), "random-vgg"
+
+
 def random_lpips_params(key=None) -> Dict[str, jnp.ndarray]:
-    """Random-weight instance (for tests: exercises shapes/compute only)."""
+    """Deterministic random-weight instance (seeded fallback; module docstring)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     params = {}

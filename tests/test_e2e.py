@@ -122,6 +122,10 @@ def test_evaluate_end_to_end(colmap_scene, tmp_path):
     assert "train" in report and "test" in report
     assert np.isfinite(report["train"]["mean"]["psnr"])
     assert report["train"]["mean"]["psnr"] > 10
+    # LPIPS must be finite in a real run; without calibrated weights the
+    # seeded random-vgg fallback is used and labeled (VERDICT r2 missing #1)
+    assert report["lpips_kind"] in ("random-vgg", "calibrated-vgg")
+    assert np.isfinite(report["train"]["mean"]["lpips"])
     results = os.path.join(model_path, "eval_10", "results.json")
     assert os.path.exists(results)
 
