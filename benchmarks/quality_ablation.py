@@ -10,7 +10,12 @@ under ablated loss configurations:
     freq      + frequency-spatial regularization (reference
               frequency_regularization.py:1579, claimed +1.34 dB README.md:43)
     freq_sv   + single-view normal consistency
-    full      + multi-view NCC/geometric consistency
+    full      + multi-view NCC/geometric consistency, DIFFERENTIABLE source
+              view (PGSR recipe: the loss renders the source view and
+              backprops through both)
+    full_sg   + multi-view with a stop-gradient source depth — the r2
+              configuration whose frozen source geometry regressed −4.1 dB
+              (kept as the ablation arm that documents the root cause)
 
 Held-out-view PSNR/SSIM per config goes to docs/quality_ablation_r2.json.
 
@@ -77,10 +82,11 @@ def make_cameras(res: int):
 
 
 def loss_config(name: str, raster: RasterConfig, steps: int) -> TrainConfig:
-    freq = name in ("freq", "freq_sv", "full")
-    sv = name in ("freq_sv", "full")
-    mv = name == "full"
+    freq = name in ("freq", "freq_sv", "full", "full_sg")
+    sv = name in ("freq_sv", "full", "full_sg")
+    mv = name in ("full", "full_sg")
     return TrainConfig(
+        multi_view_detached_src=(name == "full_sg"),
         raster=raster,
         iterations=steps,
         lambda_freq=1e-3 if freq else 0.0,
@@ -136,16 +142,19 @@ def run_config(name, steps, res, train_cams, train_gts, test_cams, test_gts,
         mv = None
         if use_mv and it >= cfg.multi_view_from:
             si = (vi + (1 if vi % 4 < 3 else -1))  # grid neighbor
-            g = ts.gaussians
-            src_out = render(
-                jax.lax.stop_gradient(g.params.xyz), g.scales, g.quats,
-                g.opacities, g.shs_flat, train_cams[si],
-                active_sh_degree=g.active_sh_degree, render_geo=True,
-                config=cfg.raster,
-            )
+            src_depth = None
+            if cfg.multi_view_detached_src:
+                g = ts.gaussians
+                src_out = render(
+                    jax.lax.stop_gradient(g.params.xyz), g.scales, g.quats,
+                    g.opacities, g.shs_flat, train_cams[si],
+                    active_sh_degree=g.active_sh_degree, render_geo=True,
+                    config=cfg.raster,
+                )
+                src_depth = jax.lax.stop_gradient(src_out["plane_depth"])
             mv = MultiViewBatch(
                 src_image_gray=jnp.mean(train_gts[si], axis=0),
-                src_plane_depth=jax.lax.stop_gradient(src_out["plane_depth"]),
+                src_plane_depth=src_depth,
                 src_cam=train_cams[si],
             )
         batch = ViewBatch(cam=cam, image=gt, image_idx=jnp.int32(vi),
@@ -172,8 +181,10 @@ def main():
     ap.add_argument("--eval_every", type=int, default=1000)
     ap.add_argument("--capacity", type=int, default=1 << 16)
     ap.add_argument("--configs", nargs="+",
-                    default=["base", "freq", "freq_sv", "full"])
-    ap.add_argument("--out", default="docs/quality_ablation_r2.json")
+                    default=["base", "freq", "freq_sv", "full", "full_sg"])
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="independent runs per config (error bars)")
+    ap.add_argument("--out", default="docs/quality_ablation_r3.json")
     args = ap.parse_args()
 
     train_cams, test_cams = make_cameras(args.res)
@@ -185,22 +196,30 @@ def main():
 
     raster = RasterConfig(backend="pallas", tile=32, max_instances=1 << 17,
                           max_blocks=2048, depth_sort_bits=-1)
-    report = {"steps": args.steps, "res": args.res, "configs": {}}
+    report = {"steps": args.steps, "res": args.res, "seeds": args.seeds,
+              "configs": {}}
     for name in args.configs:
-        curve = run_config(name, args.steps, args.res, train_cams, train_gts,
-                           test_cams, test_gts, raster, args.eval_every,
-                           capacity=args.capacity)
-        report["configs"][name] = curve
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump(report, f, indent=1)
-    # delta table vs base
+        runs = []
+        for seed in range(args.seeds):
+            curve = run_config(name, args.steps, args.res, train_cams,
+                               train_gts, test_cams, test_gts, raster,
+                               args.eval_every, capacity=args.capacity,
+                               seed=seed)
+            runs.append({"seed": seed, "curve": curve})
+            report["configs"][name] = runs
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
+    # delta table vs base (mean±sd of final off-reset eval over seeds)
+    def finals(runs):
+        return np.array([r["curve"][-1]["psnr"] for r in runs])
+
     if "base" in report["configs"]:
-        base_p = report["configs"]["base"][-1]["psnr"]
-        for name, curve in report["configs"].items():
-            d = curve[-1]["psnr"] - base_p
-            print(f"{name:8s} final PSNR {curve[-1]['psnr']:.2f} "
-                  f"({d:+.2f} dB vs base), SSIM {curve[-1]['ssim']:.4f}")
+        base_p = finals(report["configs"]["base"]).mean()
+        for name, runs in report["configs"].items():
+            f_ = finals(runs)
+            print(f"{name:8s} final PSNR {f_.mean():.2f}±{f_.std():.2f} "
+                  f"({f_.mean() - base_p:+.2f} dB vs base)")
     print(f"wrote {args.out}")
 
 

@@ -124,9 +124,12 @@ def render(
         depth_bits=config.depth_sort_bits, tile_cull=config.tile_cull,
     )
     block_overflow = jnp.int32(0)
+    blocks_needed = jnp.int32(0)
     if config.backend == "pallas":
         from hidegs_tpu.raster.pallas_blend import blend_tiles_pallas
         from hidegs_tpu.raster.pallas_vjp import needed_blocks
+
+        blocks_needed = needed_blocks(tb.tile_count)
 
         grad_reduce = config.grad_reduce
         if grad_reduce == "auto":
@@ -139,9 +142,7 @@ def render(
             mm=config.mm_geom, grad_reduce=grad_reduce,
         )
         if config.max_blocks:
-            block_overflow = jnp.maximum(
-                needed_blocks(tb.tile_count) - config.max_blocks, 0
-            )
+            block_overflow = jnp.maximum(blocks_needed - config.max_blocks, 0)
     else:
         planes = blend_tiles(pre, tb, tiles_y, tiles_x, config.tile)
 
@@ -159,6 +160,9 @@ def render(
         "visibility": pre.visible & (pre.radius > 0),
         "overflow": tb.overflow,
         "block_overflow": block_overflow,
+        # demand counters for host-side re-budgeting (grow AND shrink)
+        "num_instances": tb.num_instances,
+        "needed_blocks": blocks_needed,
     }
     if render_geo:
         nrm = crop(planes["normal"])

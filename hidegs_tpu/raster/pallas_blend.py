@@ -119,7 +119,16 @@ def window_tables(
     num_blocks: int,
     n_instances: int,
 ) -> WindowTables:
-    """Block tables mapping the virtual aligned stream onto sorted windows."""
+    """Block tables mapping the virtual aligned stream onto sorted windows.
+
+    Negative result (r3, measured at 1M/2.09 Mpix): replacing the
+    searchsorted with tiny scatter+cummax chains (t_of/a_of/s_of each a
+    T-row scatter + num_blocks cummax) improved this stage 3.7 → 2.9 ms in
+    isolation but the end-to-end forward REGRESSED 36.9 → 52.6 ms in the
+    A/B (suspected: extra small sequential ops ahead of the kernels'
+    scalar-prefetch tables serialize the launch path; single observation on
+    a tunneled chip, but every searchsorted run measured 34.5-36.9 ms).
+    Isolated stage timings mislead here — keep the searchsorted."""
     T = tile_start.shape[0]
     padded = ((tile_count + CHUNK - 1) // CHUNK) * CHUNK
     astart = jnp.cumsum(padded) - padded  # aligned span starts (multiples of CHUNK)

@@ -314,9 +314,14 @@ def _expansion_row_index(tables, slot_s, num_blocks):
     ws = tables.win_start
     shift = bidx * CHUNK - ws
     zero = jnp.zeros((I,), jnp.int32)
-    shift_at = zero.at[jnp.clip(ws, 0, I - 1)].max(shift, mode="drop")
+    # Padding blocks past the stream have win_start clamped to I by
+    # window_tables; mode="drop" must actually drop them — clipping ws to
+    # I-1 here would misroute their scatter onto the last real slot and mark
+    # it covered with a bogus rowpos exactly when the instance budget is
+    # saturated (silently dropping the final instance's gradient/observe).
+    shift_at = zero.at[ws].max(shift, mode="drop")
     rowpos = jnp.arange(I, dtype=jnp.int32) + jax.lax.cummax(shift_at)
-    cover_at = zero.at[jnp.clip(ws, 0, I - 1)].max(ws + tables.nvalid, mode="drop")
+    cover_at = zero.at[ws].max(ws + tables.nvalid, mode="drop")
     covered = jnp.arange(I, dtype=jnp.int32) < jax.lax.cummax(cover_at)
     rowpos = jnp.where(covered, jnp.clip(rowpos, 0, R - 1), R)
     # invert the sort permutation: sorting (slot_s, rowpos) by slot_s leaves
@@ -325,16 +330,40 @@ def _expansion_row_index(tables, slot_s, num_blocks):
     return row_of_slot  # (I,) int32, R = "no row" sentinel
 
 
-def _prefix_fold(rows_exp, g_start):
-    """(I, K) expansion-order rows → (N, K) per-gaussian sums via one
-    exclusive prefix sum + boundary differences at the statically known
-    expansion spans (g_start from binning). No scatter, no searchsorted."""
-    pe = jnp.concatenate(
-        [jnp.zeros((1,) + rows_exp.shape[1:], rows_exp.dtype),
-         jnp.cumsum(rows_exp, axis=0)]
+def _prefix_fold(rows_exp, g_start, block: int = 512):
+    """(I, K) expansion-order rows → (N, K) per-gaussian sums via prefix
+    sums + boundary differences at the statically known expansion spans
+    (g_start from binning). No scatter, no searchsorted.
+
+    Two-level f32 accumulation: a within-block cumsum (local magnitudes)
+    plus a cumsum over per-block sums, DIFFERENCED PER LEVEL: the two prefix
+    components ride one (N+1)-row gather as side-by-side lane groups (row
+    gathers are row-count-bound, ~9 ns/row — docs/BENCHMARKS.md r2 — so the
+    extra lanes are free) and each level is differenced separately before
+    adding. A span contained in one block then subtracts identical
+    block-level values — exact cancellation — leaving only local error;
+    block-crossing spans accumulate over I/block steps instead of I
+    (r2 advisor finding)."""
+    I, K = rows_exp.shape
+    nb = -(-I // block)
+    r = jnp.pad(rows_exp, ((0, nb * block - I), (0, 0)))
+    within = jnp.cumsum(r.reshape(nb, block, K), axis=1)  # inclusive
+    blockpref = jnp.concatenate(
+        [jnp.zeros((1, K), r.dtype), jnp.cumsum(within[:, -1], axis=0)]
+    )  # (nb+1, K) exclusive block-level prefix
+    within_excl = jnp.concatenate(
+        [jnp.zeros((nb, 1, K), r.dtype), within[:, :-1]], axis=1
     )
-    bounds = pe[g_start]  # (N+1, K)
-    return bounds[1:] - bounds[:-1]
+    within_excl = jnp.concatenate(
+        [within_excl, jnp.zeros((1, block, K), r.dtype)]
+    )  # (nb+1, block, K) so g_start == I resolves in-range
+    G = jnp.concatenate(
+        [jnp.broadcast_to(blockpref[:, None, :], within_excl.shape), within_excl],
+        axis=-1,
+    ).reshape(-1, 2 * K)
+    bounds = G[g_start]  # flat row index of slot j is exactly j — one gather
+    bp, wi = bounds[:, :K], bounds[:, K:]
+    return (bp[1:] - bp[:-1]) + (wi[1:] - wi[:-1])
 
 
 def _blend_packed_fwd(
@@ -359,22 +388,25 @@ def _blend_packed_fwd(
         obs_ext = jnp.concatenate([obs[0], jnp.zeros((1,), jnp.float32)])
         observe = _prefix_fold(obs_ext[row_of_slot][:, None], g_start)[:, 0]
     else:
+        row_of_slot = None
         # num_segments=N drops the sentinel-id padding lanes (id N) instead
         # of serializing a duplicate-heavy scatter (see _blend_packed_bwd)
         observe = jax.ops.segment_sum(
             obs[0], obs[1].astype(jnp.int32), num_segments=N
         )
     observe = jnp.pad(observe, (0, 1))
-    # residual keeps the rendered planes: the backward's per-tile totals
-    # derive from them directly (see module docstring)
+    # residual keeps the rendered planes (the backward's per-tile totals
+    # derive from them directly, see module docstring) and — on the prefix
+    # path — the block-stream routing table, so the backward reuses the
+    # forward's sort+cummax instead of re-deriving it.
     return (tile_out, observe), (
-        attrs, tables, slot_s, g_start, tile_out, N, num_blocks
+        attrs, tables, row_of_slot, g_start, tile_out, N, num_blocks
     )
 
 
 def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, mm, grad_reduce, res, cts):
     g_tiles, _g_observe = cts  # observe counts carry no gradient
-    attrs, tables, slot_s, g_start, fwd_out, N, num_blocks = res
+    attrs, tables, row_of_slot, g_start, fwd_out, N, num_blocks = res
     col = jnp.arange(OUT_CH)
     g_ch = jnp.where(col[None, None, :] == 9, 0.0, g_tiles)
     # per-tile totals ride the unused cotangent channels: ch10 = G_total
@@ -390,7 +422,6 @@ def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, mm, grad_reduce, res, 
     )  # (ATTR, B*CHUNK); padding lanes: zero grads + sentinel ids
     d_rows = d_inst[:GID_CH].T  # (B*CHUNK, GID_CH)
     if grad_reduce == "prefix":
-        row_of_slot = _expansion_row_index(tables, slot_s, num_blocks)
         d_ext = jnp.concatenate(
             [d_rows, jnp.zeros((1, GID_CH), jnp.float32)]
         )

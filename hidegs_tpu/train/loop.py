@@ -58,6 +58,10 @@ class TrainConfig:
     multi_view_sample_num: int = 4096
     multi_view_patch_half: int = 1
     multi_view_pixel_noise_th: float = 1.0
+    # False (default) = render the source view inside the loss and backprop
+    # through both views (PGSR recipe); True = precomputed stop-gradient
+    # source depth (cheaper, but regressed quality in the r2 ablation)
+    multi_view_detached_src: bool = False
     # frequency regularization (scripts/frequency_regularization.py:1579)
     lambda_freq: float = 0.001
     lambda_scale: float = 0.005
@@ -203,12 +207,30 @@ def compute_losses(
         aux["single_view"] = sv
 
     if batch.multi_view is not None:
+        mvb = batch.multi_view
+        if mvb.src_plane_depth is None:
+            # differentiable source (PGSR recipe): render the source view
+            # inside the loss so BOTH views' geometry receives the multi-view
+            # gradient — a frozen source depth drags the reference view
+            # toward stale source errors (r2 ablation regression)
+            src_out = render(
+                gaussians.params.xyz,
+                gaussians.scales,
+                gaussians.quats,
+                gaussians.opacities,
+                gaussians.shs_flat,
+                mvb.src_cam,
+                active_sh_degree=gaussians.active_sh_degree,
+                render_geo=True,
+                config=cfg.raster,
+            )
+            mvb = mvb._replace(src_plane_depth=src_out["plane_depth"])
         ncc_l, geo_l = multi_view_losses(
             out["plane_depth"],
             out["rendered_normal"],
             jnp.mean(batch.image, axis=0),
             batch.cam,
-            batch.multi_view,
+            mvb,
             rng,
             num_samples=cfg.multi_view_sample_num,
             patch_half=cfg.multi_view_patch_half,
@@ -226,6 +248,8 @@ def compute_losses(
     aux["radii"] = out["radii"]
     aux["overflow"] = out["overflow"]
     aux["block_overflow"] = out["block_overflow"]
+    aux["num_instances"] = out["num_instances"]
+    aux["needed_blocks"] = out["needed_blocks"]
     return total, aux
 
 

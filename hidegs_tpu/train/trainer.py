@@ -131,9 +131,52 @@ def init_gaussians_from_scene(scene, model_cfg: ModelConfig, capacity: int) -> G
     return state
 
 
+# consecutive clean steps before a downward budget re-fit is considered
+SHRINK_WINDOW = 200
+# only shrink when the re-fitted budget is at most this fraction of the
+# current one (hysteresis against grow/shrink oscillation)
+SHRINK_FACTOR = 0.7
+
+
+def _maybe_shrink_budgets(cfg: TrainConfig, win_max_inst: int, win_max_blocks: int, it: int):
+    """Re-fit budgets to the window's peak demand (+12% slack, same policy as
+    the initial fit). Returns (cfg, shrunk?)."""
+    from hidegs_tpu.raster.api import round_budget
+
+    shrunk = False
+    if win_max_inst > 0:
+        fit = round_budget(int(win_max_inst * 1.12))
+        if fit <= cfg.raster.max_instances * SHRINK_FACTOR:
+            print(
+                f"  budgets idle for {SHRINK_WINDOW} steps — shrinking "
+                f"max_instances {cfg.raster.max_instances} → {fit} "
+                f"(peak demand {win_max_inst})",
+                flush=True,
+            )
+            cfg = dataclasses.replace(
+                cfg, raster=dataclasses.replace(cfg.raster, max_instances=fit)
+            )
+            shrunk = True
+    if win_max_blocks > 0 and cfg.raster.max_blocks:
+        fit_b = -(-int(win_max_blocks * 1.12) // 256) * 256
+        if fit_b <= cfg.raster.max_blocks * SHRINK_FACTOR:
+            print(
+                f"  shrinking max_blocks {cfg.raster.max_blocks} → {fit_b} "
+                f"(peak demand {win_max_blocks})",
+                flush=True,
+            )
+            cfg = dataclasses.replace(
+                cfg, raster=dataclasses.replace(cfg.raster, max_blocks=fit_b)
+            )
+            shrunk = True
+    return cfg, shrunk
+
+
 def build_view_batch(cam, idx: int, cfg: TrainConfig, src_cam=None, src_depth=None):
     mv = None
-    if src_cam is not None and src_depth is not None:
+    if src_cam is not None:
+        # src_depth=None → the jitted loss renders the source view itself and
+        # backprops through both views (MultiViewBatch docstring)
         mv = MultiViewBatch(
             src_image_gray=jnp.asarray(src_cam.grayscale()),
             src_plane_depth=src_depth,
@@ -281,14 +324,23 @@ def train(
     # budget-overflow bookkeeping: counters from step it are inspected at
     # step it+1 (a single-step lag keeps dispatch async instead of syncing on
     # every step's metrics) — formerly only every log_every steps, which let
-    # overflow silently drop contributions for up to 99 steps
+    # overflow silently drop contributions for up to 99 steps.
+    # Budgets also SHRINK: after SHRINK_WINDOW consecutive clean steps whose
+    # peak demand fits well below the current budget, re-fit downward — so a
+    # densify-driven transient that doubled the sort/fold streams doesn't
+    # stay doubled for the rest of a 6M-scale run (VERDICT r2 weak #7).
     pending_overflow = None
     total_dropped_inst = 0
     total_dropped_blocks = 0
+    clean_steps = 0
+    win_max_inst = 0
+    win_max_blocks = 0
+    budget_log = [(start_iter, cfg.raster.max_instances, cfg.raster.max_blocks)]
     for it in range(start_iter, cfg.iterations + 1):
         if pending_overflow is not None:
-            ov, bov = (int(x) for x in pending_overflow)
+            ov, bov, want_inst, want_blocks = (int(x) for x in pending_overflow)
             pending_overflow = None
+            changed = False
             if ov > 0:
                 total_dropped_inst += ov
                 new_budget = cfg.raster.max_instances * 2
@@ -300,6 +352,7 @@ def train(
                 cfg = dataclasses.replace(
                     cfg, raster=dataclasses.replace(cfg.raster, max_instances=new_budget)
                 )
+                changed = True
             if bov > 0 and cfg.raster.max_blocks:
                 total_dropped_blocks += bov
                 new_blocks = cfg.raster.max_blocks * 2
@@ -311,6 +364,25 @@ def train(
                 cfg = dataclasses.replace(
                     cfg, raster=dataclasses.replace(cfg.raster, max_blocks=new_blocks)
                 )
+                changed = True
+            if changed:
+                clean_steps = win_max_inst = win_max_blocks = 0
+                budget_log.append(
+                    (it, cfg.raster.max_instances, cfg.raster.max_blocks)
+                )
+            else:
+                clean_steps += 1
+                win_max_inst = max(win_max_inst, want_inst)
+                win_max_blocks = max(win_max_blocks, want_blocks)
+                if clean_steps >= SHRINK_WINDOW:
+                    cfg, shrunk = _maybe_shrink_budgets(
+                        cfg, win_max_inst, win_max_blocks, it
+                    )
+                    clean_steps = win_max_inst = win_max_blocks = 0
+                    if shrunk:
+                        budget_log.append(
+                            (it, cfg.raster.max_instances, cfg.raster.max_blocks)
+                        )
         if not order:
             order = list(range(n_views))
             rng.shuffle(order)
@@ -321,13 +393,16 @@ def train(
         if use_mv and it >= cfg.multi_view_from and scene.neighbors.get(vi):
             si = rng.choice(scene.neighbors[vi])
             src_cam = scene.train_cameras[si]
-            src_depth = render_plane_depth(ts, src_cam.cam_params(), cfg)
+            if cfg.multi_view_detached_src:
+                src_depth = render_plane_depth(ts, src_cam.cam_params(), cfg)
 
         batch = build_view_batch(cam, vi, cfg, src_cam, src_depth)
         ts, metrics = train_step(ts, batch, cfg, use_exposure=opt_cfg.use_exposure)
         pending_overflow = (
             metrics.get("overflow", 0),
             metrics.get("block_overflow", 0),
+            metrics.get("num_instances", 0),
+            metrics.get("needed_blocks", 0),
         )
         ts, dens_info = maybe_host_side_schedule(ts, cfg, scene_extent=scene.extent)
         if dens_info is not None:
@@ -375,6 +450,12 @@ def train(
             f"overflows before re-budgeting caught up",
             flush=True,
         )
+    if len(budget_log) > 1:
+        traj = " → ".join(
+            f"@{s}:{mi}/{mb or '-'}" for s, mi, mb in budget_log
+        )
+        print(f"run summary: budget trajectory (step:instances/blocks) {traj}",
+              flush=True)
     return ts
 
 
