@@ -80,21 +80,26 @@ def main():
         jax.block_until_ready(out)
         return out, (time.perf_counter() - tt) / iters * 1e3
 
+    # hierarchy arrays ride as jit ARGUMENTS: closed-over device arrays
+    # become inline HLO constants, and at 2M nodes the ~470 MB attribute
+    # constants overflow the tunneled chip's remote-compile request (HTTP
+    # 413) — and would bloat any compile cache either way
     cut_fn = jax.jit(
-        lambda tau: expand_to_size(nodes, boxes, tau, cam.camera_center,
-                                   budget=budget, num_points=P)
+        lambda nodes_, boxes_, tau: expand_to_size(
+            nodes_, boxes_, tau, cam.camera_center, budget=budget, num_points=P
+        )
     )
-    interp_fn = jax.jit(lambda cut: interpolate_cut(cut, *arrays))
+    interp_fn = jax.jit(lambda cut, *arrs: interpolate_cut(cut, *arrs))
     render_fn = jax.jit(
-        lambda cut: render_hierarchy(cut, *arrays, cam, config=rcfg)["render"]
+        lambda cut, *arrs: render_hierarchy(cut, *arrs, cam, config=rcfg)["render"]
     )
 
     rows = []
     for tau in args.taus:
-        cut, cut_ms = timeit(cut_fn, jnp.float32(tau))
+        cut, cut_ms = timeit(cut_fn, nodes, boxes, jnp.float32(tau))
         n_cut = int(cut.valid.sum())
-        _, interp_ms = timeit(interp_fn, cut)
-        img, render_ms = timeit(render_fn, cut)
+        _, interp_ms = timeit(interp_fn, cut, *arrays)
+        img, render_ms = timeit(render_fn, cut, *arrays)
         rows.append({
             "tau": tau, "cut": n_cut, "cut_ms": round(cut_ms, 2),
             "interp_ms": round(interp_ms, 2), "render_ms": round(render_ms, 2),

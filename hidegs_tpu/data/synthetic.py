@@ -295,6 +295,56 @@ def analytic_init_points(
     )
 
 
+def write_analytic_colmap_scene(
+    root: str,
+    cams,
+    spheres: np.ndarray = None,
+    sphere_colors: np.ndarray = None,
+    extent_xy: float = 12.0,
+    n_points: int = 12_000,
+    seed: int = 0,
+):
+    """COLMAP-layout dataset whose GT images are the ANALYTIC ray-cast scene
+    (render_analytic_scene) — ground truth outside the gaussian model class,
+    so quality numbers measure reconstruction, not self-fitting (the
+    realizable-GT variant below fits exactly by construction). Sparse points
+    come from analytic_init_points (noisy ground/sphere samples standing in
+    for triangulation)."""
+    import os
+
+    from PIL import Image
+
+    from hidegs_tpu.core.transforms import rotmat_to_quat
+    from hidegs_tpu.data import colmap
+
+    os.makedirs(os.path.join(root, "sparse", "0"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    H, W = cams[0].height, cams[0].width
+    ccams = {1: colmap.ColmapCamera(
+        1, "PINHOLE", W, H,
+        np.array([float(cams[0].fx), float(cams[0].fy), W / 2, H / 2]))}
+    imgs = {}
+    for i, cam in enumerate(cams, start=1):
+        img = render_analytic_scene(cam, spheres, sphere_colors)
+        name = f"v{i:04d}.png"
+        Image.fromarray(
+            (np.clip(img.transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8)
+        ).save(os.path.join(root, "images", name))
+        q = np.asarray(rotmat_to_quat(jnp.asarray(np.asarray(cam.R)[None])))[0]
+        imgs[i] = colmap.ColmapImage(
+            i, q.astype(np.float64), np.asarray(cam.t, np.float64), 1, name,
+            np.zeros((0, 2)), np.zeros((0,), np.int64))
+    pts, cols = analytic_init_points(
+        n_points, extent_xy, spheres, sphere_colors, seed=seed
+    )
+    colmap.write_cameras_binary(ccams, os.path.join(root, "sparse/0/cameras.bin"))
+    colmap.write_images_binary(imgs, os.path.join(root, "sparse/0/images.bin"))
+    colmap.write_points3d_binary(
+        pts.astype(np.float64), (cols * 255).astype(np.uint8),
+        os.path.join(root, "sparse/0/points3D.bin"))
+    return root
+
+
 def write_synthetic_colmap_scene(
     root: str,
     scene: ToyScene,

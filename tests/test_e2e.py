@@ -130,6 +130,7 @@ def test_evaluate_end_to_end(colmap_scene, tmp_path):
     assert os.path.exists(results)
 
 
+@pytest.mark.slow
 def test_budget_grow_then_shrink(colmap_scene, tmp_path, monkeypatch, capsys):
     """Re-budgeting must grow on overflow AND re-fit downward after a clean
     window, so transients don't permanently double the instance streams

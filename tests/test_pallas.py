@@ -30,9 +30,9 @@ def render_both(n=250, h=64, w=80, seed=0, geo=True, tile=16, mm=False):
     "tile,mm",
     [
         pytest.param(16, False, marks=pytest.mark.slow),
-        (32, False),
+        pytest.param(32, False, marks=pytest.mark.slow),
         pytest.param(16, True, marks=pytest.mark.slow),
-        (32, True),
+        (32, True),  # production default (mm); other combos in the slow tier
     ],
 )
 def test_pallas_forward_matches_jnp(tile, mm):
@@ -57,8 +57,9 @@ def test_pallas_forward_matches_jnp(tile, mm):
     "tile,mm",
     [
         pytest.param(16, False, marks=pytest.mark.slow),
-        (32, False),
+        pytest.param(32, False, marks=pytest.mark.slow),
         pytest.param(16, True, marks=pytest.mark.slow),
+        (32, True),  # production default; default tier checks the mm path
     ],
 )
 def test_pallas_gradients_match_jnp(tile, mm):
@@ -152,6 +153,7 @@ def test_pallas_block_budget_parity_and_overflow():
     assert np.isfinite(np.array(out_tiny["render"])).all()
 
 
+@pytest.mark.slow
 def test_pallas_block_budget_gradients_match():
     """Gradients with a fitted block budget match the worst-case budget."""
     scene = make_toy_gaussians(120, seed=1)
@@ -184,8 +186,8 @@ def test_pallas_block_budget_gradients_match():
 @pytest.mark.parametrize(
     "scenario,max_instances,blocks_frac",
     [
-        ("ample", 1 << 13, 0.0),
-        ("truncated_blocks", 1 << 13, 0.5),
+        pytest.param("ample", 1 << 13, 0.0, marks=pytest.mark.slow),
+        pytest.param("truncated_blocks", 1 << 13, 0.5, marks=pytest.mark.slow),
         # the toy scene wants 601 instances; 512 forces a full stream
         ("saturated_instances", 1 << 9, 0.0),
     ],

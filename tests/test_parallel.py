@@ -72,6 +72,7 @@ def test_dp_matches_sequential_gradients():
     assert losses[-1] < losses[0] - 0.005, losses[:3] + losses[-3:]
 
 
+@pytest.mark.slow
 def test_dp_visibility_union_semantics():
     cams, gts, state = setup()
     mesh = make_mesh(8, data=8, model=1)
@@ -89,6 +90,7 @@ def test_dp_visibility_union_semantics():
     assert (moved[~alive] == 0).all()
 
 
+@pytest.mark.slow
 def test_dp_with_gaussian_sharding():
     """2x4 mesh: views over 'data', gaussian capacity dim over 'model'."""
     cams, gts, state = setup(n=64, n_views=2)
@@ -126,6 +128,7 @@ def test_camera_band_split_matches_full_render():
     )
 
 
+@pytest.mark.slow
 def test_band_parallel_step_over_mesh():
     """One view split into 8 bands sharded over the data axis trains."""
     from hidegs_tpu.parallel.bands import split_camera_bands
@@ -197,6 +200,7 @@ def test_dp_bf16_grad_reduction_matches_f32():
     assert losses[-1] < losses[0] - 0.003, losses
 
 
+@pytest.mark.slow
 def test_dp_pallas_kernel_path_on_mesh():
     """The production Pallas blend/VJP on the device mesh (VERDICT r2 weak
     #4): a shard_map DP step with the kernels in TPU-interpret mode must (a)
