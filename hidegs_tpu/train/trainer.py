@@ -374,7 +374,15 @@ def train(
                 clean_steps += 1
                 win_max_inst = max(win_max_inst, want_inst)
                 win_max_blocks = max(win_max_blocks, want_blocks)
-                if clean_steps >= SHRINK_WINDOW:
+                # no shrinking while densification is still growing the
+                # model: demand rises monotonically there, so a shrink is
+                # soon followed by an overflow re-grow — each flip is a
+                # recompile (~minutes on a tunneled chip). Observed live in
+                # the r3 largescene run: 16384→32768→20480→40960→28672→57344.
+                densify_active = (
+                    cfg.densify_from <= it <= cfg.densify_until
+                )
+                if clean_steps >= SHRINK_WINDOW and not densify_active:
                     cfg, shrunk = _maybe_shrink_budgets(
                         cfg, win_max_inst, win_max_blocks, it
                     )
