@@ -84,11 +84,15 @@ def main():
     # become inline HLO constants, and at 2M nodes the ~470 MB attribute
     # constants overflow the tunneled chip's remote-compile request (HTTP
     # 413) — and would bloat any compile cache either way
+    from hidegs_tpu.hier.lod import tau_to_target_size
+
+    # --taus are PIXEL granularities (reference convention); 0 = leaf cut
     cut_fn = jax.jit(
         lambda nodes_, boxes_, tau: expand_to_size(
             nodes_, boxes_, tau, cam.camera_center, budget=budget, num_points=P
         )
     )
+    to_target = lambda tpx: 0.0 if tpx == 0 else tau_to_target_size(tpx, float(cam.fx))
     interp_fn = jax.jit(lambda cut, *arrs: interpolate_cut(cut, *arrs))
     render_fn = jax.jit(
         lambda cut, *arrs: render_hierarchy(cut, *arrs, cam, config=rcfg)["render"]
@@ -96,7 +100,7 @@ def main():
 
     rows = []
     for tau in args.taus:
-        cut, cut_ms = timeit(cut_fn, nodes, boxes, jnp.float32(tau))
+        cut, cut_ms = timeit(cut_fn, nodes, boxes, jnp.float32(to_target(tau)))
         n_cut = int(cut.valid.sum())
         _, interp_ms = timeit(interp_fn, cut, *arrays)
         img, render_ms = timeit(render_fn, cut, *arrays)

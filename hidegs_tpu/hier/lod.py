@@ -30,6 +30,15 @@ from hidegs_tpu.hier.io import (
 BIG = jnp.float32(3.4e38)
 
 
+def tau_to_target_size(tau_px: float, fx: float) -> float:
+    """Pixel-granularity τ → the angular size unit `node_size` compares
+    against (h3dgs render_hierarchy.py convention:
+    threshold = 2·(τ+0.5)·tan(fovx/2)/(W/2) = (2τ+1)/fx). τ=0 still maps to
+    1/fx ≈ one pixel — the finest level the screen can resolve; callers that
+    want the literal full-leaf cut pass target_size=0 directly."""
+    return (2.0 * float(tau_px) + 1.0) / float(fx)
+
+
 def node_size(boxes: jnp.ndarray, viewpoint: jnp.ndarray) -> jnp.ndarray:
     """(N, 2, 4) boxes + (3,) viewpoint → (N,) projected granularity."""
     mn = boxes[:, 0, :3]

@@ -206,8 +206,12 @@ def evaluate_lod(
         for i in range(n_views):
             cam = scene.train_cameras[i]
             cp = cam.cam_params()
+            from hidegs_tpu.hier.lod import tau_to_target_size
+
+            # taus are PIXEL granularities (reference convention); 0 = leaves
+            target = 0.0 if tau == 0 else tau_to_target_size(tau, float(cp.fx))
             cut = expand_to_size(
-                nodes, boxes, float(tau), cp.camera_center, budget=budget,
+                nodes, boxes, target, cp.camera_center, budget=budget,
                 num_points=P,
             )
             out = render_hierarchy(cut, *arrays, cp, config=cfg)

@@ -53,8 +53,12 @@ def main(argv=None):
             cam = scene.train_cameras[i]
             cp = cam.cam_params()
             vp = jnp.asarray(np.asarray(cp.camera_center))
+            from hidegs_tpu.hier.lod import tau_to_target_size
+
+            # --tau is in PIXELS (reference convention); 0 = exact leaf cut
+            target = 0.0 if args.tau == 0 else tau_to_target_size(args.tau, float(cp.fx))
             cut = expand_to_size(
-                nodes, boxes, args.tau, vp, budget=budget, num_points=h.num_points
+                nodes, boxes, target, vp, budget=budget, num_points=h.num_points
             )
             out = render_hierarchy(cut, *arrays, cp, config=cfg)
             save_png(

@@ -109,6 +109,30 @@ def test_expand_to_size_fine_selects_leaves():
     assert int(cut2.num_selected) <= 2
 
 
+def test_tau_pixel_conversion_monotone():
+    """tau_to_target_size follows the h3dgs pixel convention ((2τ+1)/fx) and
+    larger pixel-τ selects coarser cuts (r3 fix: raw τ values collapsed a 2M
+    hierarchy to 12 nodes at τ=1 because the angular unit is ~1/focal)."""
+    from hidegs_tpu.hier.lod import tau_to_target_size
+
+    assert np.isclose(tau_to_target_size(0, 500.0), 1.0 / 500.0)
+    assert np.isclose(tau_to_target_size(3, 500.0), 7.0 / 500.0)
+    pos, rot, scale, alpha, shs = toy_leaves(32, seed=5)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    cam = ring_camera(0, height=64, width=64)
+    vp = jnp.asarray(np.asarray(cam.camera_center))
+    cuts = []
+    for tau_px in (0.0, 10.0, 200.0):
+        cut = expand_to_size(
+            jnp.asarray(h.nodes), jnp.asarray(h.boxes),
+            tau_to_target_size(tau_px, float(cam.fx)), vp, budget=128,
+            num_points=h.num_points,
+        )
+        cuts.append(int(cut.num_selected))
+    assert cuts[0] >= cuts[1] >= cuts[2]
+    assert cuts[0] > cuts[2]
+
+
 def test_hierarchy_render_matches_leaf_render():
     n = 48
     scene = make_toy_gaussians(n, seed=4)
