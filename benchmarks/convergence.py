@@ -116,7 +116,7 @@ def main():
         vi = int(order.pop())
         batch = ViewBatch(cam=cams[vi], image=gts[vi], image_idx=jnp.int32(vi))
         ts, _ = train_step(ts, batch, cfg)
-        ts, _ = maybe_host_side_schedule(ts, cfg, scene_extent=3.0)
+        ts, _ = maybe_host_side_schedule(ts, cfg, scene_extent=3.0, step=it)
         if it in eval_steps:
             p, s = evaluate(ts, cams, gts, rcfg)
             alive = int(ts.gaussians.alive.sum())

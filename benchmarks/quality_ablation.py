@@ -161,7 +161,7 @@ def run_config(name, steps, res, train_cams, train_gts, test_cams, test_gts,
                           invdepth=None, depth_mask=None, alpha_mask=None,
                           multi_view=mv)
         ts, metrics = train_step(ts, batch, cfg, use_exposure=False)
-        ts, _ = maybe_host_side_schedule(ts, cfg, scene_extent=EXTENT)
+        ts, _ = maybe_host_side_schedule(ts, cfg, scene_extent=EXTENT, step=it)
         # eval mid-interval (offset 500): evaluating AT the opacity-reset
         # steps records the scheduled clamp transient, not model quality
         # (VERDICT r1 item 6)

@@ -323,10 +323,18 @@ def densify_step(ts: TrainState, scene_extent, cfg: TrainConfig):
     return ts._replace(gaussians=g, opt=opt, rng=rng), info
 
 
-def maybe_host_side_schedule(ts: TrainState, cfg: TrainConfig, scene_extent: float):
+def maybe_host_side_schedule(
+    ts: TrainState, cfg: TrainConfig, scene_extent: float, step: int = None
+):
     """Host-loop schedule hooks: densify / opacity reset / SH warm-up.
-    Called once per iteration with the *python int* step (post-increment)."""
-    step = int(ts.step)
+    Called once per iteration with the *python int* step (post-increment).
+
+    Pass `step` when the host already knows it (the loop counter): reading
+    `int(ts.step)` blocks on the device every iteration, which on a
+    high-latency link (tunneled chip, multi-pod dispatch) caps throughput at
+    one round-trip per step — measured 0.24 s/step vs ~40 ms of compute on
+    the r3 quality run."""
+    step = int(ts.step) if step is None else step
     info = None
     if step % cfg.sh_increase_interval == 0:
         ts = ts._replace(gaussians=oneup_sh_degree(ts.gaussians))

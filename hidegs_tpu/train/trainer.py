@@ -131,6 +131,9 @@ def init_gaussians_from_scene(scene, model_cfg: ModelConfig, capacity: int) -> G
     return state
 
 
+# budget counters are fetched once per this many steps (one device sync per
+# window keeps the dispatch pipeline deep on high-latency links)
+OVERFLOW_CHECK_EVERY = 8
 # consecutive clean steps before a downward budget re-fit is considered
 SHRINK_WINDOW = 200
 # only shrink when the re-fitted budget is at most this fraction of the
@@ -329,7 +332,13 @@ def train(
     # peak demand fits well below the current budget, re-fit downward — so a
     # densify-driven transient that doubled the sort/fold streams doesn't
     # stay doubled for the rest of a 6M-scale run (VERDICT r2 weak #7).
-    pending_overflow = None
+    # Counters are fetched in WINDOWS of OVERFLOW_CHECK_EVERY steps with one
+    # device_get per window — a per-step int() sync caps throughput at one
+    # link round-trip per step (measured 0.24 s/step vs ~40 ms compute on
+    # the tunneled chip; the same math applies to real pod dispatch). An
+    # overflow can therefore drop contributions for up to
+    # OVERFLOW_CHECK_EVERY-1 extra steps before the re-budget lands.
+    pending_overflow = []
     total_dropped_inst = 0
     total_dropped_blocks = 0
     clean_steps = 0
@@ -337,9 +346,14 @@ def train(
     win_max_blocks = 0
     budget_log = [(start_iter, cfg.raster.max_instances, cfg.raster.max_blocks)]
     for it in range(start_iter, cfg.iterations + 1):
-        if pending_overflow is not None:
-            ov, bov, want_inst, want_blocks = (int(x) for x in pending_overflow)
-            pending_overflow = None
+        if len(pending_overflow) >= OVERFLOW_CHECK_EVERY:
+            vals = [
+                tuple(int(x) for x in row)
+                for row in jax.device_get(pending_overflow)
+            ]
+            pending_overflow = []
+            ov = sum(v[0] for v in vals)
+            bov = sum(v[1] for v in vals)
             changed = False
             if ov > 0:
                 total_dropped_inst += ov
@@ -371,9 +385,9 @@ def train(
                     (it, cfg.raster.max_instances, cfg.raster.max_blocks)
                 )
             else:
-                clean_steps += 1
-                win_max_inst = max(win_max_inst, want_inst)
-                win_max_blocks = max(win_max_blocks, want_blocks)
+                clean_steps += len(vals)
+                win_max_inst = max([win_max_inst] + [v[2] for v in vals])
+                win_max_blocks = max([win_max_blocks] + [v[3] for v in vals])
                 # no shrinking while densification is still growing the
                 # model: demand rises monotonically there, so a shrink is
                 # soon followed by an overflow re-grow — each flip is a
@@ -406,13 +420,17 @@ def train(
 
         batch = build_view_batch(cam, vi, cfg, src_cam, src_depth)
         ts, metrics = train_step(ts, batch, cfg, use_exposure=opt_cfg.use_exposure)
-        pending_overflow = (
+        pending_overflow.append((
             metrics.get("overflow", 0),
             metrics.get("block_overflow", 0),
             metrics.get("num_instances", 0),
             metrics.get("needed_blocks", 0),
+        ))
+        # step passed explicitly: int(ts.step) would sync on the device every
+        # iteration (see maybe_host_side_schedule docstring)
+        ts, dens_info = maybe_host_side_schedule(
+            ts, cfg, scene_extent=scene.extent, step=it
         )
-        ts, dens_info = maybe_host_side_schedule(ts, cfg, scene_extent=scene.extent)
         if dens_info is not None:
             print(
                 f"  densify@{it}: clone={int(dens_info['n_clone'])} "
