@@ -152,3 +152,51 @@ def test_network_gui_empty_resolution_skips_render():
     assert not th_client.is_alive()
     assert done["verify"] == "v"
     assert not calls
+
+
+def test_http_viewer_serves_frames():
+    """Browser viewer: page, info, and a rendered PNG frame over HTTP."""
+    import io
+    import urllib.error
+    import urllib.request
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from hidegs_tpu.data.synthetic import make_toy_gaussians
+    from hidegs_tpu.raster.api import RasterConfig, render
+    from hidegs_tpu.viewer.http_viewer import HttpViewer
+
+    scene = make_toy_gaussians(80, seed=0)
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 12)
+
+    def render_fn(cam):
+        return np.asarray(jnp.clip(render(*scene, cam, config=cfg)["render"], 0, 1))
+
+    viewer = HttpViewer(render_fn, center=(0, 0, 0), dist=6.0,
+                        host="127.0.0.1", port=0, width=64, height=48,
+                        info={"n_gaussians": 80})
+    viewer.serve_background()
+    try:
+        base = f"http://127.0.0.1:{viewer.port}"
+        page = urllib.request.urlopen(base + "/", timeout=30).read()
+        assert b"hidegs_tpu viewer" in page
+        info = json.loads(urllib.request.urlopen(base + "/info", timeout=30).read())
+        assert info["n_gaussians"] == 80
+        try:
+            png = urllib.request.urlopen(
+                base + "/frame?yaw=0.5&pitch=0.8&dist=6&w=64&h=48", timeout=60
+            ).read()
+        except urllib.error.HTTPError as e:  # surface the server-side error
+            raise AssertionError(f"/frame failed: {e.code} {e.read().decode()}")
+        img = Image.open(io.BytesIO(png))
+        assert img.size == (64, 48)
+        arr = np.asarray(img)
+        assert arr.std() > 0, "frame is blank"
+        # cache path: identical request returns identical bytes
+        png2 = urllib.request.urlopen(
+            base + "/frame?yaw=0.5&pitch=0.8&dist=6&w=64&h=48", timeout=60
+        ).read()
+        assert png2 == png
+    finally:
+        viewer.shutdown()
