@@ -344,6 +344,7 @@ def train(
     clean_steps = 0
     win_max_inst = 0
     win_max_blocks = 0
+    last_schedule_event = 0  # last densify/opacity-reset step (shrink cooldown)
     budget_log = [(start_iter, cfg.raster.max_instances, cfg.raster.max_blocks)]
     for it in range(start_iter, cfg.iterations + 1):
         if len(pending_overflow) >= OVERFLOW_CHECK_EVERY:
@@ -388,15 +389,16 @@ def train(
                 clean_steps += len(vals)
                 win_max_inst = max([win_max_inst] + [v[2] for v in vals])
                 win_max_blocks = max([win_max_blocks] + [v[3] for v in vals])
-                # no shrinking while densification is still growing the
-                # model: demand rises monotonically there, so a shrink is
-                # soon followed by an overflow re-grow — each flip is a
+                # no shrinking near schedule events: during densification
+                # demand rises monotonically, and for ~2 windows after the
+                # last densify/reset the new splats are still growing into
+                # their final screen footprint — a shrink there is soon
+                # followed by an overflow re-grow, and each flip is a
                 # recompile (~minutes on a tunneled chip). Observed live in
-                # the r3 largescene run: 16384→32768→20480→40960→28672→57344.
-                densify_active = (
-                    cfg.densify_from <= it <= cfg.densify_until
-                )
-                if clean_steps >= SHRINK_WINDOW and not densify_active:
+                # the r3 largescene run: 16384→...→57344, and again
+                # 524288→57344→114688 when gating only on the densify window.
+                settled = (it - last_schedule_event) >= 2 * SHRINK_WINDOW
+                if clean_steps >= SHRINK_WINDOW and settled:
                     cfg, shrunk = _maybe_shrink_budgets(
                         cfg, win_max_inst, win_max_blocks, it
                     )
@@ -431,6 +433,11 @@ def train(
         ts, dens_info = maybe_host_side_schedule(
             ts, cfg, scene_extent=scene.extent, step=it
         )
+        if dens_info is not None or (
+            cfg.densify_from <= it <= cfg.densify_until
+            and it % cfg.opacity_reset_interval == 0
+        ):
+            last_schedule_event = it
         if dens_info is not None:
             print(
                 f"  densify@{it}: clone={int(dens_info['n_clone'])} "
