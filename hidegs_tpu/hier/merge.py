@@ -35,11 +35,17 @@ def filter_chunk_simple(
     fall outside the chunk cell (+slack) get opacity 0 (render-culled). The
     tree topology is preserved, which keeps indices valid and matches the
     merger's goal (discard primitives by distance to chunk center,
-    mainHierarchyMerger.cpp:96-120) with a simpler mechanism."""
-    half = (0.5 + slack) * np.asarray(extent)
-    lo = np.asarray(center) - half
-    hi = np.asarray(center) + half
-    inside = ((h.pos >= lo) & (h.pos <= hi)).all(axis=1)
+    mainHierarchyMerger.cpp:96-120) with a simpler mechanism.
+
+    Only the X/Y axes are tested: chunking is a ground-plan grid (the
+    reference grids the camera bbox in XY, make_chunk.py:33-130) and the
+    recorded chunk center rides at CAMERA altitude — an r3 largescene run
+    culled 100% of gaussians (all-black LOD eval at every tau) because the
+    z test compared ground content at z∈[-10,10] against a z=16±1 cell."""
+    half = (0.5 + slack) * np.asarray(extent)[:2]
+    lo = np.asarray(center)[:2] - half
+    hi = np.asarray(center)[:2] + half
+    inside = ((h.pos[:, :2] >= lo) & (h.pos[:, :2] <= hi)).all(axis=1)
     alpha = np.where(inside, h.alpha, 0.0).astype(np.float32)
     return h._replace(alpha=alpha)
 
