@@ -121,7 +121,7 @@ def main():
 
     from hidegs_tpu.train import trainer
 
-    trainer.main([
+    train_args = [
         "--source_path", args.data,
         "--model_path", args.model,
         "--eval",
@@ -131,7 +131,16 @@ def main():
         "--densify_grad_threshold", str(args.densify_grad_threshold),
         "--densify_abs_grad_threshold", str(args.densify_abs_grad_threshold),
         "--save_iterations", "7000", "15000", str(args.iterations),
-    ] + [a for extra in args.train_arg for a in extra.split("=", 1)])
+    ]
+    if args.analytic:
+        # the analytic GT has real SKY in the tilted edge views; without a
+        # skybox the ground gaussians chase it to infinity (the r3 30k run
+        # exploded to NaN on 99.97% of rows by step 7000; densify's
+        # non-finite scrub now prunes such rows, and the skybox — reference
+        # create_from_pcd, gaussian_model.py:196-211 — gives sky pixels a
+        # fittable model)
+        train_args += ["--skybox_num", "2000"]
+    trainer.main(train_args + [a for extra in args.train_arg for a in extra.split("=", 1)])
 
     from hidegs_tpu import evaluate
 

@@ -187,7 +187,22 @@ def densify_and_prune(
     alive = alive.at[clone_slot].set(True, mode="drop")
     alive = alive.at[split_slot].set(True, mode="drop")
     new_opac_act = jax.nn.sigmoid(new_params.opacity)
-    prune = alive & ~state.protected & (new_opac_act < cfg.min_opacity)
+    # non-finite scrub (reference gaussian_model.py:738-739): a row whose
+    # params blew up renders as permanently-culled garbage — without this
+    # the r3 analytic 30k run carried 259931/259939 NaN rows to the end
+    # (training loss stayed finite because the raster culls them) and the
+    # saved checkpoint was unusable
+    finite = (
+        jnp.isfinite(new_params.xyz).all(-1)
+        & jnp.isfinite(new_params.scaling).all(-1)
+        & jnp.isfinite(new_params.rotation).all(-1)
+        & jnp.isfinite(new_params.opacity)
+        & jnp.isfinite(new_params.sh_dc).all(-1)
+        & jnp.isfinite(new_params.sh_rest).all((-1, -2))
+    )
+    prune = alive & (
+        (~state.protected & (new_opac_act < cfg.min_opacity)) | ~finite
+    )
     alive = alive & ~prune
 
     # --- bookkeeping ----------------------------------------------------

@@ -206,3 +206,31 @@ def test_skybox_generation():
     r = np.linalg.norm(pts, axis=1)
     np.testing.assert_allclose(r, 20.0, rtol=1e-5)
     assert (pts[:, 1] <= 20.0).all()
+
+
+def test_densify_prunes_nonfinite_rows():
+    """Rows whose params blew up to NaN/Inf must be pruned at the next
+    densify round (reference gaussian_model.py:738-739; the r3 analytic run
+    carried 259931 NaN rows to the final checkpoint without this)."""
+    import jax
+
+    from hidegs_tpu.model.adam import init_adam
+    from hidegs_tpu.model.densify import DensifyConfig, densify_and_prune
+    from hidegs_tpu.model.gaussians import init_from_points
+
+    state = init_from_points(
+        jnp.arange(24, dtype=jnp.float32).reshape(8, 3),
+        jnp.full((8, 3), 0.5), capacity=16,
+    )
+    p = state.params
+    state = state._replace(params=p._replace(
+        xyz=p.xyz.at[3, 0].set(jnp.nan),
+        scaling=p.scaling.at[5, 1].set(jnp.inf),
+    ))
+    opt = init_adam(state.params)
+    s2, _, info = densify_and_prune(
+        state, opt, 4.0, DensifyConfig(), jax.random.PRNGKey(0)
+    )
+    alive = np.asarray(s2.alive)
+    assert not alive[3] and not alive[5]
+    assert alive[[0, 1, 2, 4, 6, 7]].all()
