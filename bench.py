@@ -37,7 +37,7 @@ WARMUP = 2
 ITERS = 10
 
 
-def measure(n_gaussians, h, w, scene_fn, iters=ITERS):
+def measure(n_gaussians, h, w, scene_fn, iters=ITERS, probe=1 << 20):
     from hidegs_tpu.raster.api import RasterConfig, render, round_budget
     from hidegs_tpu.raster.binning import bin_gaussians, tile_grid
     from hidegs_tpu.raster.pallas_vjp import needed_blocks
@@ -46,7 +46,7 @@ def measure(n_gaussians, h, w, scene_fn, iters=ITERS):
     scene, cam = scene_fn()
     tile = 32
     ty, tx = tile_grid(h, w, tile)
-    tb0 = bin_gaussians(preprocess_gaussians(*scene, cam), ty, tx, 1 << 24, tile)
+    tb0 = bin_gaussians(preprocess_gaussians(*scene, cam), ty, tx, probe, tile)
     assert int(tb0.overflow) == 0
     max_inst = round_budget(int(int(tb0.num_instances) * 1.12))
     blocks = int(needed_blocks(tb0.tile_count))
@@ -96,6 +96,7 @@ def main():
             make_uav_gaussians(n_ground=1_000_000, n_structs=64, seed=0),
             nadir_grid_camera(0, 0, 1, 1, altitude=14.0, height=1088, width=1920),
         ),
+        probe=1 << 21,  # 1M-gaussian config wants ~533k pre-cull instances
     )
     print(
         json.dumps(
