@@ -30,8 +30,32 @@ def _flatten_with_paths(tree):
     return out, treedef
 
 
+def check_alive_finite(gaussians) -> int:
+    """Assert every ALIVE row holds finite params; returns the alive count.
+
+    The r3 30k quality run saved a checkpoint with 259,931/259,939 NaN rows
+    and nothing noticed until evaluation — the raster culls non-finite rows,
+    so training loss stayed finite throughout. Catch it at save time instead
+    (cheap: one fused reduction per save)."""
+    alive = np.asarray(gaussians.alive)
+    n_alive = int(alive.sum())
+    bad = 0
+    for name in ("xyz", "scaling", "rotation", "opacity", "sh_dc", "sh_rest"):
+        arr = np.asarray(getattr(gaussians.params, name))
+        finite = np.isfinite(arr).reshape(arr.shape[0], -1).all(axis=1)
+        bad = max(bad, int((alive & ~finite).sum()))
+    if bad:
+        raise FloatingPointError(
+            f"checkpoint corrupt: {bad}/{n_alive} alive rows hold non-finite "
+            "params (training diverged; see docs/quality_r3.json diagnosis)"
+        )
+    return n_alive
+
+
 def save_train_state(ts, directory: str, iteration: int, extras: Optional[dict] = None):
-    """Write checkpoint dir: state.npz + point_cloud.ply + meta.json."""
+    """Write checkpoint dir: state.npz + point_cloud.ply + meta.json.
+    Raises FloatingPointError if any alive row is non-finite."""
+    check_alive_finite(ts.gaussians)
     d = os.path.join(directory, f"iteration_{iteration}")
     os.makedirs(d, exist_ok=True)
     arrays, _ = _flatten_with_paths(ts)

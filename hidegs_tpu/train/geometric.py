@@ -13,7 +13,7 @@ pixel-noise threshold arguments/__init__.py:129-135).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,11 +52,15 @@ class MultiViewBatch(NamedTuple):
     161-214; PGSR renders the nearest camera inside the step). Passing a
     precomputed (stop-gradient) depth freezes the source geometry, which
     drags the reference view toward stale source errors — the r2 ablation's
-    multi-view regression (VERDICT r2 weak #1)."""
+    multi-view regression (VERDICT r2 weak #1).
+
+    Construct with KEYWORDS only: `src_plane_depth` moved after `src_cam` to
+    gain its None default, so a positional `(gray, depth, cam)` call would
+    silently bind depth to `src_cam`."""
 
     src_image_gray: jnp.ndarray  # (H, W) source view grayscale
     src_cam: CameraParams
-    src_plane_depth: jnp.ndarray = None  # (H, W) detached src depth, or None
+    src_plane_depth: Optional[jnp.ndarray] = None  # (H, W) detached src depth
 
 
 def multi_view_losses(

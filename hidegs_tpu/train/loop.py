@@ -206,6 +206,7 @@ def compute_losses(
         total = total + w_sv * sv
         aux["single_view"] = sv
 
+    src_out = None
     if batch.multi_view is not None:
         mvb = batch.multi_view
         if mvb.src_plane_depth is None:
@@ -246,10 +247,25 @@ def compute_losses(
     aux["total"] = total
     aux["visibility"] = out["visibility"]
     aux["radii"] = out["radii"]
-    aux["overflow"] = out["overflow"]
-    aux["block_overflow"] = out["block_overflow"]
-    aux["num_instances"] = out["num_instances"]
-    aux["needed_blocks"] = out["needed_blocks"]
+    # budget counters feed the trainer's grow/shrink loop. The differentiable
+    # multi-view path renders the SOURCE view too — its demand must be folded
+    # in, or a source viewpoint needing more instances than the budget is
+    # silently truncated (corrupting the NCC/geo gradient) with no overflow
+    # signal to trigger re-growth (advisor r3, medium).
+    if src_out is not None:
+        aux["overflow"] = out["overflow"] + src_out["overflow"]
+        aux["block_overflow"] = out["block_overflow"] + src_out["block_overflow"]
+        aux["num_instances"] = jnp.maximum(
+            out["num_instances"], src_out["num_instances"]
+        )
+        aux["needed_blocks"] = jnp.maximum(
+            out["needed_blocks"], src_out["needed_blocks"]
+        )
+    else:
+        aux["overflow"] = out["overflow"]
+        aux["block_overflow"] = out["block_overflow"]
+        aux["num_instances"] = out["num_instances"]
+        aux["needed_blocks"] = out["needed_blocks"]
     return total, aux
 
 

@@ -185,12 +185,23 @@ def build_view_batch(cam, idx: int, cfg: TrainConfig, src_cam=None, src_depth=No
             src_plane_depth=src_depth,
             src_cam=src_cam.cam_params(),
         )
+    use_depth = cam.invdepth is not None and cam.depth_reliable
+    depth_mask = None
+    if use_depth:
+        # per-PIXEL reliability (scene/cameras.py:101-119): supervise only
+        # where monodepth produced a valid sample (invdepth > 0), intersected
+        # with the alpha mask when present — the per-image depth_reliable
+        # flag alone would let zero-filled holes pull depth toward infinity
+        dm = np.asarray(cam.invdepth) > 0
+        if cam.alpha_mask is not None:
+            dm = dm & (np.asarray(cam.alpha_mask) > 0.5)
+        depth_mask = jnp.asarray(dm, jnp.float32)
     return ViewBatch(
         cam=cam.cam_params(),
         image=jnp.asarray(cam.image),
         image_idx=jnp.int32(idx),
-        invdepth=jnp.asarray(cam.invdepth) if cam.invdepth is not None and cam.depth_reliable else None,
-        depth_mask=None,
+        invdepth=jnp.asarray(cam.invdepth) if use_depth else None,
+        depth_mask=depth_mask,
         alpha_mask=jnp.asarray(cam.alpha_mask) if cam.alpha_mask is not None else None,
         multi_view=mv,
     )
@@ -476,6 +487,16 @@ def train(
                 ts, os.path.join(model_cfg.model_path, "point_cloud"), it
             )
             print(f"saved checkpoint → {d}", flush=True)
+    # drain counters from the final (partial) window — otherwise up to
+    # OVERFLOW_CHECK_EVERY-1 trailing steps' overflow is never fetched and a
+    # run can end with silently dropped contributions and no report
+    if pending_overflow:
+        vals = [
+            tuple(int(x) for x in row) for row in jax.device_get(pending_overflow)
+        ]
+        pending_overflow = []
+        total_dropped_inst += sum(v[0] for v in vals)
+        total_dropped_blocks += sum(v[1] for v in vals)
     if total_dropped_inst or total_dropped_blocks:
         print(
             f"run summary: {total_dropped_inst} instances and "

@@ -146,11 +146,17 @@ class HttpViewer:
                     elif parsed.path == "/frame":
                         q = urllib.parse.parse_qs(parsed.query)
                         g = lambda k, d: float(q.get(k, [d])[0])
+                        # clamp client-supplied size: an arbitrary w/h would
+                        # attempt a huge device alloc (OOMing the shared
+                        # training chip) and each distinct size is a fresh
+                        # jit compile; 0/negative would error as a 500
+                        cw = min(max(int(g("w", viewer.size[0])), 16), 2048)
+                        ch = min(max(int(g("h", viewer.size[1])), 16), 2048)
                         png = viewer.frame_png(
                             g("yaw", 0.6), g("pitch", 0.9), g("dist", viewer.dist),
                             (g("cx", viewer.center[0]), g("cy", viewer.center[1]),
                              g("cz", viewer.center[2])),
-                            int(g("w", viewer.size[0])), int(g("h", viewer.size[1])),
+                            cw, ch,
                         )
                         self._send(200, "image/png", png)
                     else:

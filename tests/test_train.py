@@ -215,3 +215,51 @@ def test_opacity_reset_zeroes_opacity_moments():
     # sanity on the helper itself
     o2 = reset_opacity_moments(ts.opt)
     assert float(jnp.abs(o2.m.opacity).max()) == 0.0
+
+
+def test_depth_mask_gates_supervision():
+    """A half-masked depth map must only supervise unmasked pixels: garbage
+    in the masked half may not change the depth loss (reference per-pixel
+    masking, scene/cameras.py:101-119; VERDICT r3 weak #7)."""
+    cams, gts, state = make_problem(n=80, seed=4)
+    cfg = TrainConfig(iterations=50, raster=RCFG, freq_warmup=0,
+                      single_view_weight=0.0, depth_schedule_from=0)
+    mask = jnp.zeros((H, W)).at[:, : W // 2].set(1.0)
+    invd_clean = jnp.ones((H, W)) * 0.3
+    invd_garbage = jnp.where(mask > 0, invd_clean, 77.7)
+    out = []
+    for invd in (invd_clean, invd_garbage):
+        # fresh (copied) state per run: train_step donates its input TrainState
+        ts = init_train_state(jax.tree.map(jnp.copy, state), num_images=N_VIEWS)
+        batch = ViewBatch(cam=cams[0], image=gts[0], image_idx=jnp.int32(0),
+                          invdepth=invd, depth_mask=mask)
+        _, metrics = train_step(ts, batch, cfg)
+        out.append(float(metrics["depth_l1"]))
+    assert out[0] == pytest.approx(out[1], rel=1e-6), out
+
+
+def test_build_view_batch_builds_pixel_depth_mask():
+    """trainer.build_view_batch derives the per-pixel mask from invdepth>0
+    (intersected with the alpha mask) instead of passing None."""
+    import types
+
+    from hidegs_tpu.train.trainer import build_view_batch
+
+    invd = np.zeros((H, W), np.float32)  # top half: monodepth holes
+    invd[H // 2 :] = 0.5
+    alpha = np.ones((H, W), np.float32)
+    alpha[:, : W // 4] = 0.0
+    cam = types.SimpleNamespace(
+        cam_params=lambda: ring_camera(0, n_cams=4, height=H, width=W),
+        image=np.zeros((3, H, W), np.float32),
+        invdepth=invd,
+        depth_reliable=True,
+        alpha_mask=alpha,
+    )
+    batch = build_view_batch(cam, 0, None)
+    assert batch.depth_mask is not None
+    dm = np.asarray(batch.depth_mask)
+    assert dm[0, W // 2] == 0.0  # alpha-valid but no depth sample... (top half)
+    assert dm[H // 2, W // 2] == 1.0  # depth present + alpha valid
+    assert dm[H // 2, 0] == 0.0  # depth present but alpha-masked
+    assert batch.invdepth is not None and batch.alpha_mask is not None
