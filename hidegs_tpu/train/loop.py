@@ -269,9 +269,80 @@ def compute_losses(
     return total, aux
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_exposure"), donate_argnums=(0,))
-def train_step(ts: TrainState, batch: ViewBatch, cfg: TrainConfig, use_exposure: bool = False):
-    """One fully-jitted training iteration (render→loss→grad→sparse Adam→stats)."""
+def _slice_rows(ts: TrainState, R: int) -> TrainState:
+    """View of the first R gaussian rows (params/opt/stats); other fields
+    pass through. Valid only when alive rows occupy the prefix [0, R) —
+    maintained by `compact_gaussians` at densify cadence."""
+    from hidegs_tpu.model.gaussians import GaussianParams
+
+    g = ts.gaussians
+    sl = lambda x: x[:R]
+    slp = lambda p: GaussianParams(*(sl(leaf) for leaf in p))
+    return ts._replace(
+        gaussians=g._replace(
+            params=slp(g.params),
+            alive=sl(g.alive),
+            grad_max=sl(g.grad_max),
+            grad_abs_max=sl(g.grad_abs_max),
+            max_radii2d=sl(g.max_radii2d),
+            protected=sl(g.protected),
+        ),
+        opt=ts.opt._replace(m=slp(ts.opt.m), v=slp(ts.opt.v), step=sl(ts.opt.step)),
+    )
+
+
+def _unslice_rows(full: TrainState, view: TrainState) -> TrainState:
+    """Write the view's updated prefix rows back into the full-capacity
+    buffers (donated, so XLA updates in place). Scalar/TrainState-level
+    fields come from the view (the step updated them)."""
+    from hidegs_tpu.model.gaussians import GaussianParams
+
+    def wb(f, v):
+        return jax.lax.dynamic_update_slice(f, v, (0,) * f.ndim)
+
+    def wbp(fp, vp):
+        return GaussianParams(*(wb(f, v) for f, v in zip(fp, vp)))
+
+    fg, vg = full.gaussians, view.gaussians
+    return view._replace(
+        gaussians=vg._replace(
+            params=wbp(fg.params, vg.params),
+            alive=wb(fg.alive, vg.alive),
+            grad_max=wb(fg.grad_max, vg.grad_max),
+            grad_abs_max=wb(fg.grad_abs_max, vg.grad_abs_max),
+            max_radii2d=wb(fg.max_radii2d, vg.max_radii2d),
+            protected=wb(fg.protected, vg.protected),
+        ),
+        opt=view.opt._replace(
+            m=wbp(full.opt.m, view.opt.m),
+            v=wbp(full.opt.v, view.opt.v),
+            step=wb(full.opt.step, view.opt.step),
+        ),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "use_exposure", "row_budget"),
+    donate_argnums=(0,),
+)
+def train_step(
+    ts: TrainState,
+    batch: ViewBatch,
+    cfg: TrainConfig,
+    use_exposure: bool = False,
+    row_budget: int = 0,
+):
+    """One fully-jitted training iteration (render→loss→grad→sparse Adam→stats).
+
+    `row_budget` (static): with 0 < R < capacity, the step runs on the
+    prefix rows [0, R) only — every N-row stage (preprocess, pack, binning,
+    Adam) scales with the LIVE gaussian count instead of the padded
+    capacity. Requires the alive-prefix invariant (compact_gaussians)."""
+    full_ts = None
+    if 0 < row_budget < ts.gaussians.capacity:
+        full_ts = ts
+        ts = _slice_rows(ts, row_budget)
     rng, step_rng = jax.random.split(ts.rng)
     C = ts.gaussians.capacity
     zeros2d = jnp.zeros((C, 2), jnp.float32)
@@ -328,6 +399,8 @@ def train_step(ts: TrainState, batch: ViewBatch, cfg: TrainConfig, use_exposure:
         step=ts.step + 1,
         rng=rng,
     )
+    if full_ts is not None:
+        new_ts = _unslice_rows(full_ts, new_ts)
     metrics = {k: v for k, v in aux.items() if v.ndim == 0}
     return new_ts, metrics
 

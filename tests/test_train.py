@@ -263,3 +263,65 @@ def test_build_view_batch_builds_pixel_depth_mask():
     assert dm[H // 2, W // 2] == 1.0  # depth present + alpha valid
     assert dm[H // 2, 0] == 0.0  # depth present but alpha-masked
     assert batch.invdepth is not None and batch.alpha_mask is not None
+
+
+def test_compact_gaussians_prefix_invariant_and_render_parity():
+    """compact_gaussians must put all alive rows in the prefix and preserve
+    the rendered image exactly (order carries no semantics)."""
+    from hidegs_tpu.model.adam import init_adam
+    from hidegs_tpu.model.gaussians import compact_gaussians
+
+    cams, gts, state = make_problem(n=100, seed=7)
+    # scatter some holes: kill every 3rd alive row
+    alive = np.array(state.alive)
+    alive[::3] = False
+    state = state._replace(alive=jnp.asarray(alive))
+    opt = init_adam(state.params)
+    opt = opt._replace(step=opt.step.at[:].set(jnp.arange(state.capacity)))
+    img_before = render(
+        state.params.xyz, state.scales, state.quats, state.opacities,
+        state.shs, cams[0], config=RCFG,
+    )["render"]
+    cstate, copt = compact_gaussians(state, opt)
+    n_alive = int(cstate.alive.sum())
+    assert n_alive == alive.sum()
+    assert bool(cstate.alive[:n_alive].all()) and not bool(cstate.alive[n_alive:].any())
+    img_after = render(
+        cstate.params.xyz, cstate.scales, cstate.quats, cstate.opacities,
+        cstate.shs, cams[0], config=RCFG,
+    )["render"]
+    np.testing.assert_allclose(np.asarray(img_before), np.asarray(img_after),
+                               rtol=1e-5, atol=1e-6)
+    # opt rows rode the same permutation: alive rows keep their step values
+    assert int(copt.step[:n_alive].min()) >= 0
+
+
+def test_row_budget_step_matches_full_step():
+    """train_step(row_budget=R) on an alive-prefix state must match the
+    full-capacity step (dead padding rows contribute nothing)."""
+    cams, gts, state = make_problem(n=100, seed=8)  # capacity 256, alive 100
+    cfg = TrainConfig(iterations=50, raster=RCFG, freq_warmup=0,
+                      single_view_weight=0.0)
+    n_alive = int(state.alive.sum())
+    R = 128
+    assert n_alive <= R < state.capacity
+    results = []
+    for rb in (0, R):
+        ts = init_train_state(jax.tree.map(jnp.copy, state), num_images=N_VIEWS)
+        for it in range(3):
+            batch = ViewBatch(cam=cams[it % N_VIEWS], image=gts[it % N_VIEWS],
+                              image_idx=jnp.int32(it % N_VIEWS))
+            ts, metrics = train_step(ts, batch, cfg, row_budget=rb)
+        results.append((ts, metrics))
+    full, sliced = results
+    np.testing.assert_allclose(np.asarray(full[1]["total"]),
+                               np.asarray(sliced[1]["total"]), rtol=1e-5)
+    for name in state.params._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(full[0].gaussians.params, name)),
+            np.asarray(getattr(sliced[0].gaussians.params, name)),
+            rtol=1e-4, atol=1e-6, err_msg=name,
+        )
+    # dead tail rows were untouched by the sliced step
+    tail = np.asarray(sliced[0].opt.step[R:])
+    assert (tail == 0).all()
