@@ -98,19 +98,35 @@ def main():
         lambda cut, *arrs: render_hierarchy(cut, *arrs, cam, config=rcfg)["render"]
     )
 
+    # τ-AWARE adaptive path (VERDICT r3 item 3): budgets fit to the actual
+    # cut, so latency must DECREASE with τ. Measured alongside the fixed-
+    # budget path for the before/after record.
+    from hidegs_tpu.hier.interp import AdaptiveHierRenderer
+
+    adaptive = AdaptiveHierRenderer(
+        nodes, boxes, *arrays, num_points=P, backend="pallas", tile=32,
+    )
+
     rows = []
     for tau in args.taus:
         cut, cut_ms = timeit(cut_fn, nodes, boxes, jnp.float32(to_target(tau)))
         n_cut = int(cut.valid.sum())
         _, interp_ms = timeit(interp_fn, cut, *arrays)
         img, render_ms = timeit(render_fn, cut, *arrays)
+        _, adaptive_ms = timeit(
+            lambda: adaptive.render(cam, tau)["render"]
+        )
         rows.append({
             "tau": tau, "cut": n_cut, "cut_ms": round(cut_ms, 2),
             "interp_ms": round(interp_ms, 2), "render_ms": round(render_ms, 2),
+            "adaptive_budget": adaptive._budget,
+            "adaptive_render_ms": round(adaptive_ms, 2),
             "mean_px": round(float(jnp.mean(img)), 4),
         })
         print(f"tau={tau}: cut={n_cut} select={cut_ms:.2f}ms "
-              f"interp={interp_ms:.2f}ms render={render_ms:.2f}ms", flush=True)
+              f"interp={interp_ms:.2f}ms render={render_ms:.2f}ms "
+              f"adaptive={adaptive_ms:.2f}ms (budget {adaptive._budget})",
+              flush=True)
 
     out = {
         "leaves": P, "nodes": int(h.num_nodes), "budget": budget,

@@ -129,3 +129,71 @@ def render_hierarchy(
         render_geo=render_geo,
         config=config or RasterConfig(),
     )
+
+
+class AdaptiveHierRenderer:
+    """τ-aware hierarchy renderer: fits the cut/interp/raster budgets to the
+    ACTUAL cut size per (viewpoint, τ) instead of riding worst-case buffers.
+
+    The r3 LOD record (docs/lod_scale_r3_px.json) showed frame latency nearly
+    independent of cut size (~320 ms at 1024² whether the cut was 1M or 12.6k
+    gaussians) because every stream — cut selection, interpolation gathers,
+    raster instance sort — was budget-padded to the leaf count. Here a
+    count-only pass (`lod.cut_size`, one N-node reduction) sizes the budget
+    first; quarter-octave rounding (`raster.api.round_budget`) plus +12%
+    slack and shrink hysteresis keep the jit compile cache small while coarse
+    cuts get proportionally small streams — the hierarchy's entire point
+    (cheap coarse frames, runtime_switching.cu design).
+    """
+
+    def __init__(self, nodes, boxes, means3d, scales, quats, opacities, shs,
+                 num_points: int, skybox_count: int = 0,
+                 backend: str = "pallas", tile: int = 32,
+                 slack: float = 1.12, shrink_factor: float = 0.5):
+        import jax.numpy as jnp
+
+        self.nodes = nodes
+        self.boxes = boxes
+        self.arrays = (means3d, scales, quats, opacities, shs)
+        self.num_points = int(num_points)
+        self.skybox_count = int(skybox_count)
+        self.backend = backend
+        self.tile = tile
+        self.slack = slack
+        self.shrink_factor = shrink_factor
+        self._budget = 0
+
+    def _fit_budget(self, n_cut: int) -> int:
+        from hidegs_tpu.raster.api import round_budget
+
+        want = round_budget(max(int(n_cut * self.slack), 1 << 10))
+        if want > self._budget or want <= self._budget * self.shrink_factor:
+            self._budget = want
+        return min(self._budget, round_budget(self.num_points))
+
+    def render(self, cam, tau_px: float, render_geo: bool = False,
+               background=None, active_sh_degree: int = 3):
+        """One frame at pixel granularity `tau_px` (0 = exact leaf cut)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from hidegs_tpu.hier.lod import cut_size, expand_to_size, tau_to_target_size
+        from hidegs_tpu.raster.api import RasterConfig, suggest_max_instances
+
+        vp = jnp.asarray(np.asarray(cam.camera_center))
+        target = 0.0 if tau_px == 0 else tau_to_target_size(tau_px, float(cam.fx))
+        n_cut = int(cut_size(self.nodes, self.boxes, jnp.float32(target), vp))
+        budget = self._fit_budget(n_cut)
+        cut = expand_to_size(
+            self.nodes, self.boxes, jnp.float32(target), vp,
+            budget=budget, num_points=self.num_points,
+        )
+        config = RasterConfig(
+            backend=self.backend, tile=self.tile, depth_sort_bits=-1,
+            max_instances=suggest_max_instances(budget + self.skybox_count),
+        )
+        return render_hierarchy(
+            cut, *self.arrays, cam, skybox_count=self.skybox_count,
+            background=background, render_geo=render_geo, config=config,
+            active_sh_degree=active_sh_degree,
+        )

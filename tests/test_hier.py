@@ -370,3 +370,72 @@ def test_anchors_roundtrip_and_freeze(tmp_path):
     )
     moved = np.abs(np.asarray(ts.params.xyz) - h.pos).max(axis=1)
     assert (moved[anchors] == 0).all()
+
+
+def test_cut_size_matches_expand_and_adaptive_renderer():
+    """cut_size's count-only pass must equal expand_to_size's num_selected,
+    and the adaptive renderer must fit its budget to the cut (tau-aware LOD,
+    VERDICT r3 item 3)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
+    from hidegs_tpu.hier.build import build_hierarchy
+    from hidegs_tpu.hier.interp import AdaptiveHierRenderer
+    from hidegs_tpu.hier.lod import cut_size, expand_to_size, tau_to_target_size
+
+    scene = make_toy_gaussians(400, seed=5)
+    h = build_hierarchy(
+        np.asarray(scene.means3d), np.asarray(scene.quats),
+        np.asarray(scene.scales), np.asarray(scene.opacities),
+        np.asarray(scene.shs),
+    )
+    nodes, boxes = jnp.asarray(h.nodes), jnp.asarray(h.boxes)
+    cam = ring_camera(0, n_cams=4, height=64, width=64)
+    vp = jnp.asarray(np.asarray(cam.camera_center))
+    sizes = []
+    for tau in (0.0, 2.0, 8.0):
+        target = 0.0 if tau == 0 else tau_to_target_size(tau, float(cam.fx))
+        n = int(cut_size(nodes, boxes, jnp.float32(target), vp))
+        cut = expand_to_size(nodes, boxes, jnp.float32(target), vp,
+                             budget=2048, num_points=h.num_points)
+        assert n == int(cut.num_selected), (tau, n, int(cut.num_selected))
+        assert n == int(cut.valid.sum())
+        sizes.append(n)
+    assert sizes[0] >= sizes[1] >= sizes[2]  # coarser tau, smaller cut
+    # tau=0 selects the exact leaf cut (h.num_points counts leaves + merged
+    # interior gaussians; the leaf cut is exactly the input count)
+    assert sizes[0] == 400
+
+    r = AdaptiveHierRenderer(
+        nodes, boxes, jnp.asarray(h.pos), jnp.exp(jnp.asarray(h.scale)),
+        jnp.asarray(h.rot), jnp.asarray(h.alpha), jnp.asarray(h.shs),
+        num_points=h.num_points, backend="jnp",
+    )
+    out_fine = r.render(cam, 0.0)
+    b_fine = r._budget
+    out_coarse = r.render(cam, 8.0)
+    b_coarse = r._budget
+    assert b_coarse <= b_fine  # budget never grows for a coarser tau
+    assert b_fine >= sizes[0] and b_coarse >= sizes[2]
+    for o in (out_fine, out_coarse):
+        img = np.asarray(o["render"])
+        assert np.isfinite(img).all() and img.max() > 0
+    # coarse and fine frames agree roughly (smooth LOD): mean within 25%
+    m_f, m_c = float(out_fine["render"].mean()), float(out_coarse["render"].mean())
+    assert abs(m_f - m_c) <= 0.25 * max(m_f, 1e-6), (m_f, m_c)
+    # the adaptive frame equals a fixed-budget render of the same cut
+    from hidegs_tpu.hier.interp import render_hierarchy
+    from hidegs_tpu.raster.api import RasterConfig
+
+    cut = expand_to_size(nodes, boxes, 0.0, vp, budget=2048,
+                         num_points=h.num_points)
+    fixed = render_hierarchy(
+        cut, jnp.asarray(h.pos), jnp.exp(jnp.asarray(h.scale)),
+        jnp.asarray(h.rot), jnp.asarray(h.alpha), jnp.asarray(h.shs), cam,
+        config=RasterConfig(backend="jnp", max_instances=1 << 15),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fine["render"]), np.asarray(fixed["render"]),
+        rtol=1e-4, atol=1e-5,
+    )
