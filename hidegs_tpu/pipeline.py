@@ -20,6 +20,152 @@ from typing import List, Optional
 import numpy as np
 
 
+def train_one_chunk(
+    source_path: str,
+    chunks_dir: str,
+    ci: int,
+    cj: int,
+    iterations: int = 1000,
+    capacity: int = 0,
+    max_instances: int = 1 << 18,
+    backend: str = "jnp",
+    resolution: int = -1,
+    skybox_num: int = 0,
+    log_every: int = 200,
+) -> str:
+    """Train chunk (ci, cj) and build its hierarchy. Idempotent: returns
+    immediately if `hierarchy.hier` already exists (fan-out resume). This is
+    the per-process unit of the chunk fan-out — the analog of one SLURM job
+    in the reference's generate_chunks.py:17-35."""
+    import numpy as np
+
+    from hidegs_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
+    from hidegs_tpu.hier.build import build_hierarchy
+    from hidegs_tpu.hier.io import write_hier
+    from hidegs_tpu.train.trainer import train
+    from hidegs_tpu.utils.ply import load_gaussian_arrays
+
+    cdir = os.path.join(chunks_dir, f"chunk_{ci}_{cj}")
+    hier_path = os.path.join(cdir, "hierarchy.hier")
+    if os.path.exists(hier_path):
+        print(f"[pipeline] chunk_{ci}_{cj}: hierarchy exists, skipping", flush=True)
+        return hier_path
+    model_dir = os.path.join(cdir, "trained")
+    # chunk scenes reuse the full images directory
+    model_cfg = ModelConfig(
+        source_path=cdir,
+        model_path=model_dir,
+        images=os.path.join(os.path.relpath(source_path, cdir), "images"),
+        resolution=resolution,
+        skybox_num=skybox_num,
+    )
+    pipe_cfg = PipelineConfig(
+        raster_backend=backend, max_instances=max_instances, capacity=capacity
+    )
+    opt_cfg = OptimizationConfig(
+        iterations=iterations,
+        densify_from_iter=max(iterations // 10, 50),
+        densify_until_iter=int(iterations * 0.8),
+        densification_interval=max(iterations // 10, 50),
+        opacity_reset_interval=10 * iterations,
+        freq_warmup_iterations=max(iterations // 10, 20),
+        single_view_weight_from_iter=max(iterations // 3, 100),
+        multi_view_weight_from_iter=max(iterations // 2, 100),
+        multi_view_sample_num=1024,
+    )
+    print(f"[pipeline] training chunk_{ci}_{cj}", flush=True)
+    train(
+        model_cfg, pipe_cfg, opt_cfg,
+        save_iterations=(iterations,), log_every=log_every,
+    )
+    ply_path = os.path.join(model_dir, "point_cloud", f"iteration_{iterations}",
+                            "point_cloud.ply")
+    d = load_gaussian_arrays(ply_path)
+    shs = np.concatenate([d["sh_dc"][:, None, :], d["sh_rest"]], axis=1)
+    h = build_hierarchy(
+        d["xyz"], d["rotation"], np.exp(d["scaling"]),
+        1.0 / (1.0 + np.exp(-d["opacity"])), shs,
+    )
+    write_hier(hier_path, h)
+    print(f"[pipeline] chunk_{ci}_{cj}: {h.num_points} gaussians → {hier_path}",
+          flush=True)
+    return hier_path
+
+
+def _fanout_chunks(
+    chunks, source_path: str, output_path: str, workers: int, **kw
+) -> None:
+    """Run each chunk's training in its own subprocess, `workers` at a time.
+
+    Subprocesses invoke `python -m hidegs_tpu.pipeline --chunk i j ...`,
+    which routes to train_one_chunk and exits. A failed worker is retried
+    once (idempotent resume: finished chunks short-circuit); a second
+    failure raises."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            # children mirror the parent's backend: on a CPU host the
+            # tunneled-TPU bootstrap (PALLAS_AXON_POOL_IPS) must not
+            # re-register itself in the workers
+            env["JAX_PLATFORMS"] = "cpu"
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+    except Exception:
+        pass
+
+    def cmd_for(ch):
+        return [
+            sys.executable, "-m", "hidegs_tpu.pipeline",
+            "--source_path", source_path,
+            "--output_path", output_path,
+            "--chunk", str(ch.i), str(ch.j),
+            "--chunk_size", str(kw["chunk_size"]),
+            "--min_n_cams", str(kw["min_n_cams"]),
+            "--iterations", str(kw["iterations"]),
+            "--capacity", str(kw["capacity"]),
+            "--max_instances", str(kw["max_instances"]),
+            "--backend", kw["backend"],
+            "--resolution", str(kw["resolution"]),
+            "--skybox_num", str(kw["skybox_num"]),
+        ]
+
+    pending = list(chunks)
+    retried = set()
+    running = {}  # popen -> chunk
+    t0 = time.time()
+    while pending or running:
+        while pending and len(running) < workers:
+            ch = pending.pop(0)
+            p = subprocess.Popen(cmd_for(ch), env=env)
+            running[p] = ch
+            print(f"[pipeline] worker started for chunk_{ch.i}_{ch.j} "
+                  f"(pid {p.pid}, {len(running)} running)", flush=True)
+        done = [p for p in running if p.poll() is not None]
+        if not done:
+            time.sleep(2.0)
+            continue
+        for p in done:
+            ch = running.pop(p)
+            if p.returncode != 0:
+                key = (ch.i, ch.j)
+                if key in retried:
+                    raise RuntimeError(
+                        f"chunk_{ch.i}_{ch.j} worker failed twice "
+                        f"(rc={p.returncode})"
+                    )
+                retried.add(key)
+                print(f"[pipeline] chunk_{ch.i}_{ch.j} failed "
+                      f"(rc={p.returncode}) — retrying", flush=True)
+                pending.append(ch)
+            else:
+                print(f"[pipeline] chunk_{ch.i}_{ch.j} worker done "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+
+
 def run_pipeline(
     source_path: str,
     output_path: str,
@@ -35,18 +181,13 @@ def run_pipeline(
     add_far_cams: bool = True,
     log_every: int = 200,
     eval_taus=(0.0, 3.0, 6.0, 15.0),
+    workers: int = 1,
 ):
     """Returns the path of the merged global hierarchy."""
-    import jax.numpy as jnp
-
-    from hidegs_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
     from hidegs_tpu.data import colmap
-    from hidegs_tpu.hier.build import build_hierarchy
     from hidegs_tpu.hier.io import read_hier, write_hier
     from hidegs_tpu.hier.merge import merge_hierarchies
     from hidegs_tpu.preprocess import chunking
-    from hidegs_tpu.train.trainer import train
-    from hidegs_tpu.utils.ply import load_gaussian_arrays
 
     t0 = time.time()
     os.makedirs(output_path, exist_ok=True)
@@ -65,54 +206,39 @@ def run_pipeline(
     print(f"[pipeline] {len(chunks)} chunks ({time.time()-t0:.0f}s)", flush=True)
 
     # ---- 2. per-chunk training + hierarchy build -----------------------
-    centers, extents, hier_paths = [], [], []
-    for ch in chunks:
-        cdir = os.path.join(chunks_dir, f"chunk_{ch.i}_{ch.j}")
-        model_dir = os.path.join(cdir, "trained")
-        # chunk scenes reuse the full images directory
-        model_cfg = ModelConfig(
-            source_path=cdir,
-            model_path=model_dir,
-            images=os.path.join(os.path.relpath(source_path, cdir), "images"),
-            resolution=resolution,
-            skybox_num=skybox_num,
+    # Sequential in-process by default; `workers > 1` fans each chunk out to
+    # its own subprocess (the TPU analog of the reference's SLURM fan-out,
+    # preprocess/generate_chunks.py:17-35) — chunks share nothing but the
+    # filesystem, and already-built chunk hierarchies are skipped so a
+    # crashed/preempted fan-out resumes where it left off.
+    centers = [ch.center for ch in chunks]
+    extents = [ch.extent for ch in chunks]
+    if workers > 1:
+        _fanout_chunks(
+            chunks, source_path, output_path, workers,
+            chunk_size=chunk_size, min_n_cams=min_n_cams,
+            iterations=iterations, capacity=capacity,
+            max_instances=max_instances, backend=backend,
+            resolution=resolution, skybox_num=skybox_num,
         )
-        pipe_cfg = PipelineConfig(
-            raster_backend=backend, max_instances=max_instances, capacity=capacity
-        )
-        opt_cfg = OptimizationConfig(
-            iterations=iterations,
-            densify_from_iter=max(iterations // 10, 50),
-            densify_until_iter=int(iterations * 0.8),
-            densification_interval=max(iterations // 10, 50),
-            opacity_reset_interval=10 * iterations,
-            freq_warmup_iterations=max(iterations // 10, 20),
-            single_view_weight_from_iter=max(iterations // 3, 100),
-            multi_view_weight_from_iter=max(iterations // 2, 100),
-            multi_view_sample_num=1024,
-        )
-        print(f"[pipeline] training chunk_{ch.i}_{ch.j} "
-              f"({len(ch.camera_ids)} cams)", flush=True)
-        train(
-            model_cfg, pipe_cfg, opt_cfg,
-            save_iterations=(iterations,), log_every=log_every,
-        )
-
-        ply_path = os.path.join(model_dir, "point_cloud", f"iteration_{iterations}",
-                                "point_cloud.ply")
-        d = load_gaussian_arrays(ply_path)
-        shs = np.concatenate([d["sh_dc"][:, None, :], d["sh_rest"]], axis=1)
-        h = build_hierarchy(
-            d["xyz"], d["rotation"], np.exp(d["scaling"]),
-            1.0 / (1.0 + np.exp(-d["opacity"])), shs,
-        )
-        hier_path = os.path.join(cdir, "hierarchy.hier")
-        write_hier(hier_path, h)
-        centers.append(ch.center)
-        extents.append(ch.extent)
-        hier_paths.append(hier_path)
-        print(f"[pipeline] chunk_{ch.i}_{ch.j}: {h.num_points} gaussians "
-              f"→ {hier_path} ({time.time()-t0:.0f}s)", flush=True)
+        hier_paths = []
+        for ch in chunks:
+            p = os.path.join(chunks_dir, f"chunk_{ch.i}_{ch.j}", "hierarchy.hier")
+            if not os.path.exists(p):
+                raise RuntimeError(f"chunk worker produced no hierarchy: {p}")
+            hier_paths.append(p)
+    else:
+        hier_paths = []
+        for ch in chunks:
+            hier_paths.append(train_one_chunk(
+                source_path, chunks_dir, ch.i, ch.j,
+                iterations=iterations, capacity=capacity,
+                max_instances=max_instances, backend=backend,
+                resolution=resolution, skybox_num=skybox_num,
+                log_every=log_every,
+            ))
+            print(f"[pipeline] chunk_{ch.i}_{ch.j} done ({time.time()-t0:.0f}s)",
+                  flush=True)
 
     # ---- 3. merge into the global hierarchy ----------------------------
     merged = merge_hierarchies([read_hier(p) for p in hier_paths], centers, extents)
@@ -242,14 +368,29 @@ def main(argv=None):
     ap.add_argument("--resolution", type=int, default=-1)
     ap.add_argument("--skybox_num", type=int, default=0)
     ap.add_argument("--eval_taus", type=float, nargs="*", default=[0.0, 3.0, 6.0, 15.0])
+    ap.add_argument("--workers", type=int, default=1,
+                    help="concurrent per-chunk training subprocesses (the "
+                         "SLURM-fan-out analog; 1 = sequential in-process)")
+    ap.add_argument("--chunk", type=int, nargs=2, default=None, metavar=("I", "J"),
+                    help="worker mode: train ONLY chunk (i, j) from an "
+                         "already-chunked output dir, then exit")
     args = ap.parse_args(argv)
+    if args.chunk is not None:
+        train_one_chunk(
+            args.source_path, os.path.join(args.output_path, "chunks"),
+            args.chunk[0], args.chunk[1],
+            iterations=args.iterations, capacity=args.capacity,
+            max_instances=args.max_instances, backend=args.backend,
+            resolution=args.resolution, skybox_num=args.skybox_num,
+        )
+        return
     run_pipeline(
         args.source_path, args.output_path,
         chunk_size=args.chunk_size, min_n_cams=args.min_n_cams,
         iterations=args.iterations, post_opt_iterations=args.post_opt_iterations,
         capacity=args.capacity, max_instances=args.max_instances,
         backend=args.backend, resolution=args.resolution, skybox_num=args.skybox_num,
-        eval_taus=tuple(args.eval_taus),
+        eval_taus=tuple(args.eval_taus), workers=args.workers,
     )
 
 

@@ -104,3 +104,59 @@ def test_pipeline_end_to_end(two_cluster_scene, tmp_path):
 
     st = ChunkStreamer(os.path.join(out, "chunks"))
     assert len(st.chunks) == 2
+
+
+@pytest.mark.slow
+def test_pipeline_chunk_fanout_matches_sequential(two_cluster_scene, tmp_path):
+    """workers=2 subprocess fan-out must produce the same merged hierarchy
+    as the sequential in-process run (VERDICT r3 item 6: the SLURM fan-out
+    analog of preprocess/generate_chunks.py:17-35)."""
+    import json
+    import time
+
+    from hidegs_tpu.hier.io import read_hier
+    from hidegs_tpu.pipeline import run_pipeline
+
+    results = {}
+    for mode, workers in (("seq", 1), ("fan", 2)):
+        out = str(tmp_path / mode)
+        t0 = time.time()
+        merged_path = run_pipeline(
+            str(two_cluster_scene), out,
+            chunk_size=14.0, min_n_cams=3, iterations=25,
+            capacity=256, max_instances=1 << 12, add_far_cams=False,
+            log_every=1000, workers=workers, eval_taus=(0.0,),
+        )
+        results[mode] = (read_hier(merged_path), time.time() - t0)
+    h_seq, _ = results["seq"]
+    h_fan, _ = results["fan"]
+    assert h_seq.num_points == h_fan.num_points
+    assert h_seq.num_nodes == h_fan.num_nodes
+    np.testing.assert_allclose(h_seq.pos, h_fan.pos, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(h_seq.alpha, h_fan.alpha, rtol=1e-5, atol=1e-6)
+
+
+def test_chunk_worker_cli_idempotent(two_cluster_scene, tmp_path):
+    """`--chunk i j` worker mode trains exactly one chunk and is idempotent
+    (an existing hierarchy short-circuits — fan-out retry/resume safety)."""
+    import time
+
+    from hidegs_tpu.data import colmap
+    from hidegs_tpu.pipeline import train_one_chunk
+    from hidegs_tpu.preprocess import chunking
+
+    out = tmp_path / "out"
+    sparse = os.path.join(str(two_cluster_scene), "sparse", "0")
+    cams, imgs, (xyz, rgb, err, _ids) = colmap.read_model(sparse)
+    chunks = chunking.compute_chunks(cams, imgs, xyz, err, chunk_size=14.0,
+                                     min_n_cams=3, add_far_cams=False)
+    chunks_dir = str(out / "chunks")
+    chunking.write_chunks(chunks, cams, imgs, xyz, rgb, err, chunks_dir)
+    ch = chunks[0]
+    p1 = train_one_chunk(str(two_cluster_scene), chunks_dir, ch.i, ch.j,
+                         iterations=10, capacity=256, max_instances=1 << 12)
+    assert os.path.exists(p1)
+    t0 = time.time()
+    p2 = train_one_chunk(str(two_cluster_scene), chunks_dir, ch.i, ch.j,
+                         iterations=10, capacity=256, max_instances=1 << 12)
+    assert p2 == p1 and time.time() - t0 < 5.0  # short-circuited
