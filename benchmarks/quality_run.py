@@ -78,6 +78,29 @@ def build_analytic_dataset(root: str, size: int, nx: int, ny: int,
     return root
 
 
+def build_terrain_dataset(root: str, size: int, nx: int, ny: int,
+                          extent_xy: float = 12.0, n_points: int = 16_000):
+    """Realistic-image benchmark scene (VERDICT r3 item 1): ray-marched
+    textured height field with view-dependent lighting, synthetic monodepth
+    (smooth low-frequency error + holes + depth_params.json) and COLMAP-
+    style noisy sparse points. Generation is CPU-bound one-time work; the
+    dataset is cached on disk."""
+    from hidegs_tpu.data.synthetic import (
+        nadir_grid_camera,
+        write_terrain_colmap_scene,
+    )
+
+    cams = [
+        nadir_grid_camera(ix, iy, nx, ny, extent_xy=extent_xy, height=size,
+                          width=size)
+        for iy in range(ny)
+        for ix in range(nx)
+    ]
+    write_terrain_colmap_scene(root, cams, extent_xy=extent_xy,
+                               n_points=n_points)
+    return root
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/tmp/uav_quality/scene")
@@ -103,6 +126,10 @@ def main():
     ap.add_argument("--analytic", action="store_true",
                     help="ray-cast analytic GT (non-realizable) instead of "
                          "splat-rendered GT — VERDICT r2 item 6")
+    ap.add_argument("--terrain", action="store_true",
+                    help="realistic-image benchmark: ray-marched height "
+                         "field + synthetic monodepth + COLMAP noise "
+                         "(VERDICT r3 item 1)")
     ap.add_argument("--out", default="docs/quality_uav_r1.json")
     ap.add_argument("--train-arg", action="append", default=[],
                     help="extra trainer flags, e.g. --train-arg=--densify_until_iter=7500")
@@ -113,7 +140,9 @@ def main():
     if args.fresh and os.path.isdir(args.model):
         shutil.rmtree(args.model)
     if not os.path.isdir(args.data):
-        if args.analytic:
+        if args.terrain:
+            build_terrain_dataset(args.data, args.size, *args.grid)
+        elif args.analytic:
             build_analytic_dataset(args.data, args.size, *args.grid)
         else:
             build_dataset(args.data, args.size, args.size, *args.grid,
@@ -140,6 +169,10 @@ def main():
         # create_from_pcd, gaussian_model.py:196-211 — gives sky pixels a
         # fittable model)
         train_args += ["--skybox_num", "2000"]
+    if args.terrain:
+        # full-pipeline inputs: monodepth supervision (with the synthetic
+        # error field + per-pixel holes) and a skybox for any sky pixels
+        train_args += ["--depths", "depths", "--skybox_num", "2000"]
     trainer.main(train_args + [a for extra in args.train_arg for a in extra.split("=", 1)])
 
     from hidegs_tpu import evaluate
@@ -157,7 +190,9 @@ def main():
     report = json.load(open(res_path))
     summary = {
         "workload": {
-            "scene": ("analytic ray-cast (non-realizable GT)" if args.analytic
+            "scene": ("realistic terrain (ray-marched height field + "
+                      "synthetic monodepth + COLMAP noise)" if args.terrain
+                      else "analytic ray-cast (non-realizable GT)" if args.analytic
                       else "synthetic UAV (make_uav_gaussians)"),
             "views": args.grid[0] * args.grid[1],
             "resolution": [args.size, args.size],

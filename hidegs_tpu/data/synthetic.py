@@ -399,3 +399,270 @@ def write_synthetic_colmap_scene(
     colmap.write_points3d_binary(
         pts, (cols * 255).astype(np.uint8), os.path.join(root, "sparse/0/points3D.bin"))
     return root
+
+
+# --------------------------------------------------------------------------
+# Realistic-image benchmark scene (VERDICT r3 item 1): a textured HEIGHT
+# FIELD rendered with view-dependent lighting, plus synthetic monodepth with
+# realistic error statistics and COLMAP-style noisy sparse points. Unlike
+# the plane+spheres analytic scene, this workload carries the error modes
+# the HiDeGS-specific losses exist for: parallax-dependent shading (multi-
+# view NCC), smooth monodepth bias (depth reliability + multi-view geo),
+# sharp texture over smooth geometry (frequency regularizer).
+# --------------------------------------------------------------------------
+
+
+def _value_noise(u, v, cell, seed=0):
+    """Deterministic bilinear value noise on a lattice of size `cell`."""
+
+    def hash01(ix, iy):
+        h = (
+            ix.astype(np.int64) * 374761393
+            + iy.astype(np.int64) * 668265263
+            + np.int64(seed) * 97002337
+        ) % 2147483647
+        h = (h ^ (h >> 13)) * 1274126177 % 2147483647
+        return (h % 65536).astype(np.float64) / 65536.0
+
+    gu, gv = u / cell, v / cell
+    iu, iv = np.floor(gu), np.floor(gv)
+    fu, fv = gu - iu, gv - iv
+    fu = fu * fu * (3 - 2 * fu)  # smoothstep → C1 height field
+    fv = fv * fv * (3 - 2 * fv)
+    return (
+        hash01(iu, iv) * (1 - fu) * (1 - fv)
+        + hash01(iu + 1, iv) * fu * (1 - fv)
+        + hash01(iu, iv + 1) * (1 - fu) * fv
+        + hash01(iu + 1, iv + 1) * fu * fv
+    )
+
+
+def terrain_height(u, v, hmax: float = 2.4, seed: int = 0):
+    """Smooth multi-octave height field h(u, v) ≥ 0 (+z up)."""
+    h = (
+        0.50 * _value_noise(u, v, 9.0, seed)
+        + 0.30 * _value_noise(u, v, 3.7, seed + 1)
+        + 0.14 * _value_noise(u, v, 1.6, seed + 2)
+        + 0.06 * _value_noise(u, v, 0.7, seed + 3)
+    )
+    # gentle large-scale swell so oblique rays see silhouettes
+    h = h + 0.18 * (1 + np.sin(0.21 * u + 0.8) * np.cos(0.17 * v - 0.4)) / 2
+    return hmax * h
+
+
+def _terrain_normal(u, v, hmax, seed, eps=0.05):
+    hx = (terrain_height(u + eps, v, hmax, seed) - terrain_height(u - eps, v, hmax, seed)) / (2 * eps)
+    hy = (terrain_height(u, v + eps, hmax, seed) - terrain_height(u, v - eps, hmax, seed)) / (2 * eps)
+    n = np.stack([-hx, -hy, np.ones_like(hx)], axis=-1)
+    return n / np.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def render_terrain_scene(
+    cam: CameraParams,
+    extent_xy: float = 12.0,
+    hmax: float = 2.4,
+    seed: int = 0,
+    sun=(0.45, 0.35, 0.80),
+    sky=(0.70, 0.80, 0.95),
+    n_steps: int = 160,
+    n_bisect: int = 12,
+):
+    """Ray-marched render of the textured height field with Lambert + Blinn-
+    Phong (view-dependent) shading. Returns ((3, H, W) image in [0, 1],
+    (H, W) ray-hit distance with inf for sky)."""
+    import jax
+
+    H, W = cam.height, cam.width
+    R_, t_, cx_, cy_, fx_, fy_ = jax.device_get(
+        (cam.R, cam.t, cam.cx, cam.cy, cam.fx, cam.fy)
+    )
+    R = np.asarray(R_, np.float64)
+    t = np.asarray(t_, np.float64)
+    origin = -R.T @ t
+    xs = (np.arange(W) + 0.5 - float(cx_)) / float(fx_)
+    ys = (np.arange(H) + 0.5 - float(cy_)) / float(fy_)
+    dx, dy = np.meshgrid(xs, ys)
+    d = np.stack([dx, dy, np.ones_like(dx)], axis=-1) @ R
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dz = d[..., 2]
+
+    # march only descending rays, from just below the camera to the z=0 crossing
+    desc = dz < -1e-4
+    t_lo = np.where(desc, np.maximum((origin[2] - hmax) / -np.where(desc, dz, -1.0), 0.3), 0.3)
+    t_hi = np.where(desc, (origin[2] - 0.0) / -np.where(desc, dz, -1.0) + 1.0, 1.0)
+
+    hit_t = np.full((H, W), np.inf)
+    prev_above = np.ones((H, W), bool)
+    prev_t = t_lo.copy()
+    for s in range(n_steps):
+        tt = t_lo + (t_hi - t_lo) * (s / (n_steps - 1))
+        px = origin[0] + tt * d[..., 0]
+        py = origin[1] + tt * d[..., 1]
+        pz = origin[2] + tt * dz
+        above = pz > terrain_height(px, py, hmax, seed)
+        crossed = prev_above & ~above & desc & ~np.isfinite(hit_t)
+        # bracket [prev_t, tt] for newly crossed rays
+        if crossed.any():
+            a = np.where(crossed, prev_t, 0.0)
+            b = np.where(crossed, tt, 1.0)
+            for _ in range(n_bisect):
+                m = 0.5 * (a + b)
+                mx = origin[0] + m * d[..., 0]
+                my = origin[1] + m * d[..., 1]
+                mz = origin[2] + m * dz
+                mabove = mz > terrain_height(mx, my, hmax, seed)
+                a = np.where(mabove, m, a)
+                b = np.where(mabove, b, m)
+            hit_t = np.where(crossed, 0.5 * (a + b), hit_t)
+        prev_above = above
+        prev_t = tt
+    hit = np.isfinite(hit_t)
+
+    th = np.where(hit, hit_t, 1.0)
+    pu = origin[0] + th * d[..., 0]
+    pv = origin[1] + th * d[..., 1]
+    albedo = procedural_texture(pu, pv)
+    n = _terrain_normal(pu, pv, hmax, seed)
+    # slope-tinted albedo (rockier on steep faces) — more texture variety
+    slope = np.clip(1.0 - n[..., 2], 0.0, 1.0)
+    albedo = albedo * (1.0 - 0.5 * slope[..., None]) + 0.5 * slope[..., None] * np.array([0.45, 0.40, 0.36])
+
+    sund = np.asarray(sun, np.float64)
+    sund /= np.linalg.norm(sund)
+    lam = np.clip(np.einsum("hwc,c->hw", n, sund), 0.0, 1.0)
+    # Blinn-Phong specular: view direction makes shading VIEW-DEPENDENT —
+    # the same surface point changes appearance across cameras, which is the
+    # photometric inconsistency the LNCC multi-view term is built for
+    view = -d
+    half = view + sund[None, None]
+    half /= np.linalg.norm(half, axis=-1, keepdims=True) + 1e-9
+    spec = np.clip(np.einsum("hwc,c->hw", n, sund) > 0, 0, 1) * (
+        np.clip(np.einsum("hwc,hwc->hw", n, half), 0.0, 1.0) ** 32
+    )
+    shaded = albedo * (0.30 + 0.70 * lam)[..., None] + 0.18 * spec[..., None]
+
+    # sky gradient for non-hit rays
+    skyc = np.asarray(sky, np.float64)[None, None] * (
+        0.85 + 0.15 * np.clip(dz, 0, 1)[..., None]
+    )
+    color = np.where(hit[..., None], shaded, skyc)
+    return (
+        np.transpose(np.clip(color, 0, 1), (2, 0, 1)).astype(np.float32),
+        np.where(hit, hit_t, np.inf).astype(np.float32),
+    )
+
+
+def synthetic_monodepth(
+    ray_depth: np.ndarray,  # (H, W) hit distance, inf = sky
+    seed: int = 0,
+    rel_err: float = 0.04,
+    hole_frac: float = 0.01,
+):
+    """Corrupt true inverse depth the way a monodepth net fails: an unknown
+    per-image affine (scale, offset), a SMOOTH low-frequency multiplicative
+    error field (rel_err amplitude), and holes. Returns (uint16 png array,
+    depth_params {scale, offset} that map png/65535 back to scene inverse
+    depth up to the smooth error — exactly what make_depth_scale's robust
+    fit would recover from COLMAP sparse depth)."""
+    rng = np.random.default_rng(seed)
+    H, W = ray_depth.shape
+    inv = np.where(np.isfinite(ray_depth), 1.0 / np.maximum(ray_depth, 1e-6), 0.0)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    err = rel_err * _value_noise(
+        xx / W * 6.0, yy / H * 6.0, 1.0, seed=seed + 11
+    )
+    err = 2.0 * (err / rel_err - 0.5) * rel_err  # [-rel_err, rel_err]
+    inv_md = inv * (1.0 + err)
+    # unknown per-image affine the depth_params must undo
+    alpha = float(rng.uniform(0.6, 1.6))
+    beta = float(rng.uniform(0.02, 0.1))
+    raw = alpha * inv_md + beta
+    raw[inv <= 0] = 0.0  # sky: no monodepth sample
+    # random hole blotches (failed predictions)
+    n_holes = max(int(hole_frac * H * W / 64), 1)
+    for _ in range(n_holes):
+        hy, hx = rng.integers(0, H), rng.integers(0, W)
+        r = int(rng.integers(3, 9))
+        raw[max(hy - r, 0):hy + r, max(hx - r, 0):hx + r] = 0.0
+    mx = raw.max()
+    png = np.clip(raw / max(mx, 1e-9) * 65535.0, 0, 65535).astype(np.uint16)
+    # the loader first normalizes png→[0,1]: png/65535 = raw/mx, so
+    # (png/65535)·(mx/α) − β/α = inv_md — the affine make_depth_scale's
+    # robust fit would recover; the smooth `err` field remains as the
+    # realistic residual the multi-view terms must handle
+    params = {"scale": mx / alpha, "offset": -beta / alpha}
+    return png, params
+
+
+def write_terrain_colmap_scene(
+    root: str,
+    cams,
+    extent_xy: float = 12.0,
+    hmax: float = 2.4,
+    n_points: int = 16_000,
+    seed: int = 0,
+    point_noise: float = 0.04,
+    outlier_frac: float = 0.01,
+    depth_rel_err: float = 0.04,
+):
+    """COLMAP-layout dataset for the realistic benchmark: ray-marched GT
+    images, 16-bit monodepth pngs + sparse/0/depth_params.json, and noisy
+    sparse points (triangulation noise ∝ depth + gross outliers)."""
+    import os
+
+    from PIL import Image
+
+    from hidegs_tpu.core.transforms import rotmat_to_quat
+    from hidegs_tpu.data import colmap
+
+    os.makedirs(os.path.join(root, "sparse", "0"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depths"), exist_ok=True)
+    H, W = cams[0].height, cams[0].width
+    ccams = {1: colmap.ColmapCamera(
+        1, "PINHOLE", W, H,
+        np.array([float(cams[0].fx), float(cams[0].fy), W / 2, H / 2]))}
+    imgs = {}
+    depth_params = {}
+    for i, cam in enumerate(cams, start=1):
+        img, ray_depth = render_terrain_scene(
+            cam, extent_xy=extent_xy, hmax=hmax, seed=seed
+        )
+        name = f"v{i:04d}"
+        Image.fromarray(
+            (np.clip(img.transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8)
+        ).save(os.path.join(root, "images", name + ".png"))
+        png, params = synthetic_monodepth(
+            ray_depth, seed=seed + i, rel_err=depth_rel_err
+        )
+        Image.fromarray(png).save(os.path.join(root, "depths", name + ".png"))
+        depth_params[name] = params
+        q = np.asarray(rotmat_to_quat(jnp.asarray(np.asarray(cam.R)[None])))[0]
+        imgs[i] = colmap.ColmapImage(
+            i, q.astype(np.float64), np.asarray(cam.t, np.float64), 1,
+            name + ".png", np.zeros((0, 2)), np.zeros((0,), np.int64))
+
+    # sparse points: surface samples with depth-proportional noise + outliers
+    rng = np.random.default_rng(seed + 999)
+    gx = rng.uniform(-extent_xy, extent_xy, n_points)
+    gy = rng.uniform(-extent_xy, extent_xy, n_points)
+    gz = terrain_height(gx, gy, hmax, seed)
+    noise = rng.normal(0.0, point_noise, (n_points, 3))
+    pts = np.stack([gx, gy, gz], -1) + noise
+    n_out = int(outlier_frac * n_points)
+    if n_out:
+        idx = rng.choice(n_points, n_out, replace=False)
+        pts[idx, 2] += rng.uniform(1.0, 6.0, n_out)  # floaters
+    cols = procedural_texture(pts[:, 0], pts[:, 1])
+    cols = np.clip(cols + rng.normal(0, 0.05, cols.shape), 0, 1)
+
+    import json
+
+    colmap.write_cameras_binary(ccams, os.path.join(root, "sparse/0/cameras.bin"))
+    colmap.write_images_binary(imgs, os.path.join(root, "sparse/0/images.bin"))
+    colmap.write_points3d_binary(
+        pts.astype(np.float64), (cols * 255).astype(np.uint8),
+        os.path.join(root, "sparse/0/points3D.bin"))
+    with open(os.path.join(root, "sparse/0/depth_params.json"), "w") as f:
+        json.dump(depth_params, f)
+    return root
