@@ -65,6 +65,12 @@ class PipelineConfig:
     # <model_path>/freq_debug/ (reference save_visualizations cadence,
     # scripts/frequency_regularization.py:1446-1577; 0 disables)
     debug_panel_every: int = 0
+    # per-chunk training: cull gaussians outside the chunk's AABB (read from
+    # <source_path>/center.txt + extent.txt) during rasterization, matching
+    # the reference's boxmin/boxmax cull (forward.cu:319-321) so out-of-cell
+    # scaffold/padding gaussians cannot soak up gradient. Skybox/scaffold
+    # (protected) rows are exempt.
+    chunk_box_cull: bool = False
 
 
 @dataclass

@@ -60,7 +60,8 @@ def train_one_chunk(
         skybox_num=skybox_num,
     )
     pipe_cfg = PipelineConfig(
-        raster_backend=backend, max_instances=max_instances, capacity=capacity
+        raster_backend=backend, max_instances=max_instances, capacity=capacity,
+        chunk_box_cull=True,
     )
     opt_cfg = OptimizationConfig(
         iterations=iterations,

@@ -83,11 +83,16 @@ def render(
     colors_precomp: Optional[jnp.ndarray] = None,
     config: RasterConfig = RasterConfig(),
     mean2d_offset: Optional[jnp.ndarray] = None,
+    boxmin: Optional[jnp.ndarray] = None,
+    boxmax: Optional[jnp.ndarray] = None,
+    box_exempt: Optional[jnp.ndarray] = None,
 ) -> RenderOutputs:
     """Differentiable render of a set of 3D Gaussians into `cam`.
 
     All array args are full-capacity padded buffers; dead gaussians must carry
     opacity 0 (the model layer guarantees this), which culls them here.
+    `boxmin`/`boxmax`/`box_exempt`: optional chunk-AABB cull
+    (forward.cu:319-321) — see preprocess_gaussians.
     """
     if background is None:
         background = jnp.zeros(3, dtype=jnp.float32)
@@ -106,6 +111,9 @@ def render(
         colors_precomp=colors_precomp,
         antialias=config.antialias,
         mean2d_offset=mean2d_offset,
+        boxmin=boxmin,
+        boxmax=boxmax,
+        box_exempt=box_exempt,
     )
 
     if config.pre_constraint is not None:

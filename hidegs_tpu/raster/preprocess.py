@@ -47,6 +47,9 @@ def preprocess_gaussians(
     h_var: float = H_VAR,
     near_z: float = NEAR_Z,
     mean2d_offset: Optional[jnp.ndarray] = None,
+    boxmin: Optional[jnp.ndarray] = None,
+    boxmax: Optional[jnp.ndarray] = None,
+    box_exempt: Optional[jnp.ndarray] = None,
 ) -> PreprocessedGaussians:
     """means3d (N,3) world; scales (N,3) linear; quats (N,4) wxyz;
     opacities (N,) in [0,1]; shs (N,K,3).
@@ -57,6 +60,13 @@ def preprocess_gaussians(
     screenspace positional gradient for densification — the JAX equivalent of
     the reference's retain_grad'd screenspace_points
     (gaussian_renderer/__init__.py:45-49).
+    `boxmin`/`boxmax` ((3,) world coords) enable the chunk-AABB cull
+    (forward.cu:319-321): gaussians whose MEAN falls outside the box are
+    invisible — per-chunk training confines rasterization to the chunk cell
+    so scaffold/padding gaussians outside it cannot soak up gradient.
+    `box_exempt` ((N,) bool) spares rows from the cull (skybox/scaffold —
+    the reference's skybox lives at 10x scene radius and an unexempted box
+    would delete the sky from every chunk render).
     """
     # scalar-expanded fused covariance+projection (see ewa.project_gaussians_scq:
     # VPU-only, no (N,3,3) intermediates, full f32)
@@ -108,6 +118,11 @@ def preprocess_gaussians(
         distance = jnp.zeros_like(proj.depth)
 
     visible = proj.in_frustum & (proj.radius > 0)
+    if boxmin is not None and boxmax is not None:
+        inside = jnp.all((means3d >= boxmin) & (means3d <= boxmax), axis=-1)
+        if box_exempt is not None:
+            inside = inside | box_exempt
+        visible = visible & inside
     safe_z = jnp.maximum(proj.depth, near_z)
     return PreprocessedGaussians(
         mean2d=proj.mean2d,

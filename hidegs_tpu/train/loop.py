@@ -74,6 +74,10 @@ class TrainConfig:
     densify: DensifyConfig = field(default_factory=DensifyConfig)
     # SH warm-up
     sh_increase_interval: int = 1_000
+    # chunk-AABB render cull (forward.cu:319-321): ((minx,miny,minz),
+    # (maxx,maxy,maxz)) world box, or None. Static (hashable) tuple so it
+    # rides the jitted step's cfg; protected rows (skybox/scaffold) exempt.
+    chunk_box: Optional[tuple] = None
     raster: RasterConfig = field(default_factory=RasterConfig)
 
 
@@ -147,6 +151,13 @@ def compute_losses(
 ):
     """Full HiDeGS loss stack. Returns (total, aux dict)."""
     render_geo = cfg.single_view_weight > 0 or batch.multi_view is not None
+    box_kw = {}
+    if cfg.chunk_box is not None:
+        box_kw = dict(
+            boxmin=jnp.asarray(cfg.chunk_box[0], jnp.float32),
+            boxmax=jnp.asarray(cfg.chunk_box[1], jnp.float32),
+            box_exempt=gaussians.protected,
+        )
     out = render(
         gaussians.params.xyz,
         gaussians.scales,
@@ -158,6 +169,7 @@ def compute_losses(
         render_geo=render_geo,
         config=cfg.raster,
         mean2d_offset=mean2d_offset,
+        **box_kw,
     )
     img = out["render"]
     if use_exposure:
@@ -224,6 +236,7 @@ def compute_losses(
                 active_sh_degree=gaussians.active_sh_degree,
                 render_geo=True,
                 config=cfg.raster,
+                **box_kw,
             )
             mvb = mvb._replace(src_plane_depth=src_out["plane_depth"])
         ncc_l, geo_l = multi_view_losses(

@@ -298,6 +298,24 @@ def train(
         opt_cfg.max_all_points,
     )
     cfg = train_config_from_opt(opt_cfg, pipe_cfg, n_init)
+    if getattr(pipe_cfg, "chunk_box_cull", False):
+        center_f = os.path.join(model_cfg.source_path, "center.txt")
+        extent_f = os.path.join(model_cfg.source_path, "extent.txt")
+        if os.path.exists(center_f) and os.path.exists(extent_f):
+            # chunk-AABB render cull (forward.cu:319-321): the training box
+            # is the chunk cell with 1.5x slack (out-of-cell content near
+            # the border still participates, matching the chunker's far-
+            # camera padding), protected rows exempt
+            c = np.loadtxt(center_f).reshape(-1)[:3]
+            e = np.loadtxt(extent_f).reshape(-1)[:3] * 1.5
+            cfg = dataclasses.replace(
+                cfg,
+                chunk_box=(
+                    tuple(float(v) for v in (c - e / 2)),
+                    tuple(float(v) for v in (c + e / 2)),
+                ),
+            )
+            print(f"chunk box cull: {cfg.chunk_box}", flush=True)
     if cfg.raster.backend == "pallas":
         # initial block budget: half the worst case (the tile-intersection
         # cull typically drops ≥40% of rect instances); block_overflow

@@ -256,3 +256,46 @@ def test_auto_depth_bits_close_to_exact():
     np.testing.assert_allclose(
         np.array(out_auto["render"]), np.array(out_exact["render"]), atol=2e-3
     )
+
+
+def test_chunk_aabb_cull():
+    """boxmin/boxmax mark out-of-box gaussians invisible (forward.cu:319-321)
+    and box_exempt spares skybox/scaffold rows; the culled render equals one
+    where those gaussians were opacity-zeroed by hand."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
+    from hidegs_tpu.raster.api import RasterConfig, render
+
+    scene = make_toy_gaussians(200, seed=11)
+    cam = ring_camera(0, n_cams=4, height=64, width=64)
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 14)
+    boxmin = jnp.asarray([-0.8, -0.8, -2.0])
+    boxmax = jnp.asarray([0.8, 0.8, 2.0])
+    inside = np.asarray(
+        jnp.all((scene.means3d >= boxmin) & (scene.means3d <= boxmax), axis=-1)
+    )
+    assert 0 < inside.sum() < 200, "test box must split the scene"
+
+    out_box = render(*scene, cam, config=cfg, boxmin=boxmin, boxmax=boxmax)
+    out_manual = render(
+        scene.means3d, scene.scales, scene.quats,
+        jnp.where(jnp.asarray(inside), scene.opacities, 0.0), scene.shs,
+        cam, config=cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_box["render"]), np.asarray(out_manual["render"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert not bool(out_box["visibility"][~inside].any())
+
+    # exempt mask spares rows regardless of the box
+    exempt = jnp.ones((200,), bool)
+    out_ex = render(*scene, cam, config=cfg, boxmin=boxmin, boxmax=boxmax,
+                    box_exempt=exempt)
+    out_free = render(*scene, cam, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(out_ex["render"]), np.asarray(out_free["render"]),
+        rtol=1e-5, atol=1e-6,
+    )
