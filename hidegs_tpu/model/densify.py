@@ -249,3 +249,24 @@ def densify_and_prune(
         "radii_p99": qr[1],
     }
     return new_state, new_opt, info
+
+
+@jax.jit
+def scrub_nonfinite(state: GaussianState):
+    """Kill alive rows whose params went non-finite. The same scrub
+    densify_and_prune applies (reference gaussian_model.py:738-739), exposed
+    standalone so the trainer can keep running it AFTER the densification
+    window closes: the r4 analytic 30k run diverged 139 rows between iters
+    15k and 30k — past densify_until — and nothing scrubbed them until the
+    checkpoint save tripped. Returns (state, n_killed)."""
+    p = state.params
+    finite = (
+        jnp.isfinite(p.xyz).all(-1)
+        & jnp.isfinite(p.scaling).all(-1)
+        & jnp.isfinite(p.rotation).all(-1)
+        & jnp.isfinite(p.opacity)
+        & jnp.isfinite(p.sh_dc).all(-1)
+        & jnp.isfinite(p.sh_rest).all((-1, -2))
+    )
+    killed = state.alive & ~finite
+    return state._replace(alive=state.alive & finite), killed.sum()

@@ -440,6 +440,15 @@ def maybe_host_side_schedule(
     info = None
     if step % cfg.sh_increase_interval == 0:
         ts = ts._replace(gaussians=oneup_sh_degree(ts.gaussians))
+    if step > cfg.densify_until and step % cfg.densify_interval == 0:
+        # densify's non-finite scrub stops with the window, but rows can
+        # still diverge afterwards (r4 analytic run: 139 rows between 15k
+        # and 30k) — keep scrubbing at the same cadence so a late blow-up
+        # is one dead row, not a corrupt checkpoint
+        from hidegs_tpu.model.densify import scrub_nonfinite
+
+        g, _n = scrub_nonfinite(ts.gaussians)
+        ts = ts._replace(gaussians=g)
     if cfg.densify_from <= step <= cfg.densify_until:
         if step % cfg.densify_interval == 0:
             ts, info = densify_step(ts, scene_extent, cfg)
