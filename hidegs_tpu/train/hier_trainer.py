@@ -41,9 +41,21 @@ class HierTrainState(NamedTuple):
     boxes: jnp.ndarray  # (N, 2, 4)
     step: jnp.ndarray
     rng: jax.Array
+    # per-image exposure compensation (create_from_hier loads pretrained
+    # exposures alongside the .hier, gaussian_model.py:358-431); identity
+    # when none were provided
+    exposure: jnp.ndarray = None  # (E, 3, 4)
+    exposure_m: jnp.ndarray = None
+    exposure_v: jnp.ndarray = None
 
 
-def state_from_hierarchy(h: Hierarchy, seed: int = 0) -> HierTrainState:
+def state_from_hierarchy(
+    h: Hierarchy, seed: int = 0, num_images: int = 1,
+    exposures: Optional[np.ndarray] = None,
+) -> HierTrainState:
+    """`exposures` ((E, 3, 4), e.g. from load_exposures) seeds the per-image
+    compensation the reference ingests with a pretrained hierarchy; identity
+    otherwise."""
     params = GaussianParams(
         xyz=jnp.asarray(h.pos),
         sh_dc=jnp.asarray(h.shs[:, 0, :]),
@@ -52,6 +64,12 @@ def state_from_hierarchy(h: Hierarchy, seed: int = 0) -> HierTrainState:
         rotation=jnp.asarray(h.rot),
         opacity=jnp.asarray(h.alpha),  # |x| activation, stored activated
     )
+    if exposures is not None:
+        expo = jnp.asarray(np.asarray(exposures, np.float32))
+        num_images = expo.shape[0]
+    else:
+        eye34 = jnp.zeros((3, 4)).at[:, :3].set(jnp.eye(3))
+        expo = jnp.tile(eye34[None], (max(num_images, 1), 1, 1))
     return HierTrainState(
         params=params,
         opt=init_adam(params),
@@ -59,7 +77,33 @@ def state_from_hierarchy(h: Hierarchy, seed: int = 0) -> HierTrainState:
         boxes=jnp.asarray(h.boxes),
         step=jnp.int32(0),
         rng=jax.random.PRNGKey(seed),
+        exposure=expo,
+        exposure_m=jnp.zeros_like(expo),
+        exposure_v=jnp.zeros_like(expo),
     )
+
+
+def load_exposures(path: str, image_names=None) -> Optional[np.ndarray]:
+    """Read an exposure.json (saved by train/checkpoint.py or the reference's
+    scene/__init__.py:164-170) into an (E, 3, 4) array. Keys may be image
+    names or integer indices; `image_names` orders name-keyed files."""
+    import json
+    import os
+
+    if not path or not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    if not d:
+        return None
+    if image_names is not None and any(k in d for k in image_names):
+        eye = np.zeros((3, 4), np.float32)
+        eye[:, :3] = np.eye(3)
+        return np.stack([
+            np.asarray(d.get(name, eye), np.float32) for name in image_names
+        ])
+    keys = sorted(d.keys(), key=lambda k: int(k) if k.isdigit() else 0)
+    return np.stack([np.asarray(d[k], np.float32) for k in keys])
 
 
 def hierarchy_to_arrays(params: GaussianParams):
@@ -83,7 +127,10 @@ def select_cut(ts: HierTrainState, cam, target_size: float, budget: int) -> Hier
 
 @partial(
     jax.jit,
-    static_argnames=("raster_cfg", "lambda_dssim", "skybox_count"),
+    static_argnames=(
+        "raster_cfg", "lambda_dssim", "skybox_count", "use_exposure",
+        "optimize_exposure",
+    ),
     donate_argnums=(0,),
 )
 def hier_train_step(
@@ -96,25 +143,41 @@ def hier_train_step(
     lambda_dssim: float = 0.2,
     skybox_count: int = 0,
     frozen: jnp.ndarray | None = None,
+    image_idx: jnp.ndarray | int = 0,
+    use_exposure: bool = False,
+    optimize_exposure: bool = False,
 ):
     """One post-opt step on a fixed LOD cut. `frozen` (P,) bool excludes
     gaussians from the sparse update — used for anchors.bin gaussians, which
     render at full detail from every training view and must keep their
-    chunk-trained appearance (anchors loaded at gaussian_model.py:366-374)."""
+    chunk-trained appearance (anchors loaded at gaussian_model.py:366-374).
+
+    `use_exposure` applies ts.exposure[image_idx] to the render (the
+    pretrained-exposure ingestion of create_from_hier,
+    gaussian_model.py:358-431); `optimize_exposure` additionally trains it
+    with a small dense Adam like the main loop's exposure optimizer."""
     rng, _ = jax.random.split(ts.rng)
     P = ts.params.xyz.shape[0]
+    idx = jnp.asarray(image_idx, jnp.int32)
 
-    def loss_fn(params):
+    def loss_fn(params, exposure):
         xyz, scales, quats, opac, shs = hierarchy_to_arrays(params)
         ig = interpolate_cut(cut, xyz, scales, quats, opac, shs, skybox_count)
         out = render(
             ig.means3d, ig.scales, ig.quats, ig.opacities, ig.shs, cam,
             config=raster_cfg,
         )
-        img = jnp.clip(out["render"], 0.0, 1.0)
+        img = out["render"]
+        if use_exposure:
+            from hidegs_tpu.train.loop import apply_exposure
+
+            img = apply_exposure(img, exposure[idx])
+        img = jnp.clip(img, 0.0, 1.0)
         return dssim_l1(img, gt_image, lambda_dssim)
 
-    loss, grads = jax.value_and_grad(loss_fn)(ts.params)
+    loss, (grads, expo_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        ts.params, ts.exposure
+    )
 
     # visible = gaussians referenced by the cut (children) or as parents
     visible = jnp.zeros((P,), bool)
@@ -126,8 +189,21 @@ def hier_train_step(
         visible = visible & ~frozen
 
     new_params, new_opt = masked_adam_update(ts.params, grads, ts.opt, lr_cfg_tree, visible)
+    if use_exposure and optimize_exposure:
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        t = jnp.maximum(ts.step + 1, 1).astype(jnp.float32)
+        m = b1 * ts.exposure_m + (1 - b1) * expo_grads
+        v = b2 * ts.exposure_v + (1 - b2) * expo_grads**2
+        new_expo = ts.exposure - 1e-3 * (m / (1 - b1**t)) / (
+            jnp.sqrt(v / (1 - b2**t)) + eps
+        )
+    else:
+        m, v, new_expo = ts.exposure_m, ts.exposure_v, ts.exposure
     return (
-        ts._replace(params=new_params, opt=new_opt, step=ts.step + 1, rng=rng),
+        ts._replace(
+            params=new_params, opt=new_opt, step=ts.step + 1, rng=rng,
+            exposure=new_expo, exposure_m=m, exposure_v=v,
+        ),
         {"loss": loss, "n_visible": visible.sum()},
     )
 
@@ -144,12 +220,20 @@ def post_optimize(
     skybox_count: int = 0,
     log_every: int = 100,
     anchors=None,
+    exposures: Optional[np.ndarray] = None,
+    optimize_exposure: bool = False,
 ) -> HierTrainState:
     """Host loop: post-optimize `h` against (cameras[i], images[i]) pairs.
-    `anchors` (int32 indices from io.read_anchors) are frozen throughout."""
+    `anchors` (int32 indices from io.read_anchors) are frozen throughout.
+    `exposures` ((len(cameras), 3, 4)) seeds per-image compensation (the
+    create_from_hier pretrained-exposure ingestion); `optimize_exposure`
+    trains it (fresh identity when no seed was given)."""
     import random as _random
 
-    ts = state_from_hierarchy(h)
+    ts = state_from_hierarchy(
+        h, num_images=len(cameras), exposures=exposures
+    )
+    use_expo = exposures is not None or optimize_exposure
     frozen = None
     if anchors is not None and len(anchors):
         frozen = jnp.zeros((h.num_points,), bool).at[jnp.asarray(anchors)].set(True)
@@ -164,6 +248,8 @@ def post_optimize(
         ts, m = hier_train_step(
             ts, cut, cameras[i], jnp.asarray(images[i]), lrs, raster_cfg,
             skybox_count=skybox_count, frozen=frozen,
+            image_idx=i, use_exposure=use_expo,
+            optimize_exposure=optimize_exposure,
         )
         if it % log_every == 0:
             print(f"[hier {it}/{iterations}] loss={float(m['loss']):.4f} "

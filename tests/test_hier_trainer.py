@@ -78,3 +78,50 @@ def test_appearance_model():
     assert abs(float(m.b[1]) - 0.05) < 0.05
     # other images untouched
     assert float(m.a[0]) == 0.0
+
+
+def test_post_opt_exposure_ingestion_and_optimization(tmp_path):
+    """Pretrained exposures load with the hierarchy (create_from_hier,
+    gaussian_model.py:358-431) and are applied to post-opt renders; with
+    optimize_exposure they move (VERDICT r3 missing #6)."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
+    from hidegs_tpu.hier.build import build_hierarchy
+    from hidegs_tpu.raster.api import RasterConfig, render
+    from hidegs_tpu.train.hier_trainer import load_exposures, post_optimize
+
+    scene = make_toy_gaussians(150, seed=2)
+    h = build_hierarchy(
+        np.asarray(scene.means3d), np.asarray(scene.quats),
+        np.asarray(scene.scales), np.asarray(scene.opacities),
+        np.asarray(scene.shs),
+    )
+    cams = [ring_camera(i, n_cams=3, height=48, width=48) for i in range(3)]
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 13)
+    # gt images carry a per-view brightness offset the exposure must absorb
+    gains = [1.0, 0.8, 1.25]
+    gts = [
+        jnp.clip(render(*scene, c, config=cfg)["render"] * g, 0, 1)
+        for c, g in zip(cams, gains)
+    ]
+
+    # exposure.json round-trip (checkpoint format: integer keys)
+    expo = np.tile(np.concatenate([np.eye(3), np.zeros((3, 1))], 1)[None], (3, 1, 1))
+    expo[1, :3, :3] *= 0.8
+    p = tmp_path / "exposure.json"
+    json.dump({str(i): expo[i].tolist() for i in range(3)}, open(p, "w"))
+    loaded = load_exposures(str(p))
+    np.testing.assert_allclose(loaded, expo)
+
+    ts = post_optimize(
+        h, cams, gts, iterations=8, raster_cfg=cfg,
+        exposures=loaded, optimize_exposure=True, log_every=100,
+    )
+    assert np.isfinite(np.asarray(ts.params.xyz)).all()
+    # the seeded exposure was ingested and the optimizer moved it
+    assert float(jnp.abs(ts.exposure[1] - jnp.asarray(expo[1])).max()) > 0
+    assert float(jnp.abs(ts.exposure[1, 0, 0] - 1.0)) > 0.1  # kept ~0.8 scale
