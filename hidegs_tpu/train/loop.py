@@ -371,7 +371,18 @@ def train_step(
     )
     param_grads, expo_grads, screen_grads = grads
 
-    visible = aux["visibility"]
+    # Finite-step gate: ONE non-finite pixel in the loss poisons the
+    # gradient of EVERY visible gaussian, and the masked Adam then writes
+    # NaN into all of them in a single step (observed in the r4 analytic
+    # run: 260k rows died between steps 12600 and 12700). A bad step is
+    # skipped wholesale — params, moments, stats and exposure keep their
+    # previous values; `step_ok` lands in metrics so the host can count.
+    step_ok = jnp.isfinite(loss)
+    for leaf in jax.tree_util.tree_leaves(param_grads):
+        step_ok = step_ok & jnp.isfinite(jnp.sum(leaf))
+    aux["step_ok"] = step_ok.astype(jnp.float32)
+
+    visible = aux["visibility"] & step_ok
     lrs = lr_tree(ts.step, cfg.lr, ts.gaussians.spatial_lr_scale)
     new_params, new_opt = masked_adam_update(
         ts.gaussians.params, param_grads, ts.opt, lrs, visible
@@ -400,6 +411,10 @@ def train_step(
         new_expo = ts.exposure - lr_e * (m / (1 - b1**t)) / (
             jnp.sqrt(v / (1 - b2**t)) + eps
         )
+        # finite-step gate (see above): skip the exposure update too
+        m = jnp.where(step_ok, m, ts.exposure_m)
+        v = jnp.where(step_ok, v, ts.exposure_v)
+        new_expo = jnp.where(step_ok, new_expo, ts.exposure)
     else:
         m, v, new_expo = ts.exposure_m, ts.exposure_v, ts.exposure
 

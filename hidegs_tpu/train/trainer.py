@@ -393,6 +393,7 @@ def train(
     pending_overflow = []
     total_dropped_inst = 0
     total_dropped_blocks = 0
+    total_skipped_steps = 0
     clean_steps = 0
     win_max_inst = 0
     win_max_blocks = 0
@@ -407,6 +408,11 @@ def train(
             pending_overflow = []
             ov = sum(v[0] for v in vals)
             bov = sum(v[1] for v in vals)
+            bad = sum(1 for v in vals if len(v) > 4 and v[4] == 0)
+            if bad:
+                total_skipped_steps += bad
+                print(f"  {bad} non-finite steps skipped in window ending @{it}",
+                      flush=True)
             changed = False
             if ov > 0:
                 total_dropped_inst += ov
@@ -482,6 +488,7 @@ def train(
             metrics.get("block_overflow", 0),
             metrics.get("num_instances", 0),
             metrics.get("needed_blocks", 0),
+            metrics.get("step_ok", 1),
         ))
         # step passed explicitly: int(ts.step) would sync on the device every
         # iteration (see maybe_host_side_schedule docstring)
@@ -556,6 +563,7 @@ def train(
         pending_overflow = []
         total_dropped_inst += sum(v[0] for v in vals)
         total_dropped_blocks += sum(v[1] for v in vals)
+        total_skipped_steps += sum(1 for v in vals if len(v) > 4 and v[4] == 0)
     if total_dropped_inst or total_dropped_blocks:
         print(
             f"run summary: {total_dropped_inst} instances and "
@@ -563,6 +571,9 @@ def train(
             f"overflows before re-budgeting caught up",
             flush=True,
         )
+    if total_skipped_steps:
+        print(f"run summary: {total_skipped_steps} steps skipped by the "
+              "finite-step gate (non-finite loss/grads)", flush=True)
     if len(budget_log) > 1:
         traj = " → ".join(
             f"@{s}:{mi}/{mb or '-'}" for s, mi, mb in budget_log

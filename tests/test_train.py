@@ -325,3 +325,27 @@ def test_row_budget_step_matches_full_step():
     # dead tail rows were untouched by the sliced step
     tail = np.asarray(sliced[0].opt.step[R:])
     assert (tail == 0).all()
+
+
+def test_finite_step_gate_skips_poisoned_step():
+    """A non-finite loss (here: a NaN pixel in the GT) must not write NaN
+    into the model — the step is skipped wholesale (r4 analytic run: one
+    poisoned step killed 260k rows via NaN grads to every visible row)."""
+    cams, gts, state = make_problem(n=80, seed=9)
+    cfg = TrainConfig(iterations=50, raster=RCFG, freq_warmup=0,
+                      single_view_weight=0.0)
+    ts = init_train_state(jax.tree.map(jnp.copy, state), num_images=N_VIEWS)
+    bad_gt = gts[0].at[:, 5, 5].set(jnp.nan)
+    xyz_before = np.asarray(ts.gaussians.params.xyz).copy()
+    ts, metrics = train_step(
+        ts, ViewBatch(cam=cams[0], image=bad_gt, image_idx=jnp.int32(0)), cfg
+    )
+    assert float(metrics["step_ok"]) == 0.0
+    np.testing.assert_array_equal(np.asarray(ts.gaussians.params.xyz), xyz_before)
+    assert np.isfinite(np.asarray(ts.gaussians.params.xyz)).all()
+    # a clean step afterwards still applies
+    ts, metrics = train_step(
+        ts, ViewBatch(cam=cams[1], image=gts[1], image_idx=jnp.int32(1)), cfg
+    )
+    assert float(metrics["step_ok"]) == 1.0
+    assert np.abs(np.asarray(ts.gaussians.params.xyz) - xyz_before).max() > 0
