@@ -89,6 +89,12 @@ def loss_config(name: str, raster: RasterConfig, steps: int) -> TrainConfig:
         multi_view_detached_src=(name == "full_sg"),
         raster=raster,
         iterations=steps,
+        # reference proportions (arguments/__init__.py:113-135 at 30k):
+        # depth weight decays 1.0->0.01 FROM the same iter the multi-view
+        # terms activate — mv replaces the noisy monodepth as the geometry
+        # signal. Holding depth at 1.0 all run (the r4 first ablation) never
+        # lets mv matter.
+        depth_schedule_from=steps // 4,
         lambda_freq=1e-3 if freq else 0.0,
         lambda_scale=5e-3 if freq else 0.0,
         freq_warmup=min(500, steps // 6),
@@ -209,10 +215,19 @@ def main():
             procedural_texture,
         )
 
+        cache = f"/tmp/terrain_ablation_gt_{args.res}.npz"
+        cached = {}
+        if os.path.exists(cache):
+            cached = dict(np.load(cache))
+            print(f"terrain GT from cache {cache}", flush=True)
         print("rendering terrain ground truth (ray march)...", flush=True)
         train_gts, train_invdepths = [], []
         for i, c in enumerate(train_cams):
-            img, ray_d = render_terrain_scene(c, extent_xy=EXTENT, hmax=1.8)
+            if f"img{i}" in cached:
+                img, ray_d = cached[f"img{i}"], cached[f"dep{i}"]
+            else:
+                img, ray_d = render_terrain_scene(c, extent_xy=EXTENT, hmax=1.8)
+                cached[f"img{i}"], cached[f"dep{i}"] = img, ray_d
             inv = np.where(np.isfinite(ray_d), 1.0 / np.maximum(ray_d, 1e-6), 0.0)
             # the smooth low-frequency monodepth error field (affine part
             # cancels under a perfect depth_params fit; this residual is
@@ -226,10 +241,15 @@ def main():
                                            seed=100 + i) - 0.5)
             train_gts.append(jnp.asarray(img))
             train_invdepths.append(jnp.asarray((inv * (1 + err)).astype(np.float32)))
-        test_gts = [
-            jnp.asarray(render_terrain_scene(c, extent_xy=EXTENT, hmax=1.8)[0])
-            for c in test_cams
-        ]
+        test_gts = []
+        for j, c in enumerate(test_cams):
+            if f"timg{j}" in cached:
+                test_gts.append(jnp.asarray(cached[f"timg{j}"]))
+            else:
+                img = render_terrain_scene(c, extent_xy=EXTENT, hmax=1.8)[0]
+                cached[f"timg{j}"] = img
+                test_gts.append(jnp.asarray(img))
+        np.savez(cache, **cached)
         rng_ = np.random.default_rng(7)
         gx = rng_.uniform(-EXTENT, EXTENT, 6000)
         gy = rng_.uniform(-EXTENT, EXTENT, 6000)
