@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--capacity", type=int, default=1 << 16)
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--out", default="docs/largescene_r2.json")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="concurrent per-chunk training subprocesses")
     args = ap.parse_args()
 
     if args.fresh:
@@ -77,7 +79,7 @@ def main():
         chunk_size=args.chunk_size, min_n_cams=4,
         iterations=args.iterations, post_opt_iterations=args.post_opt,
         capacity=args.capacity, max_instances=1 << 19, backend="pallas",
-        log_every=500,
+        log_every=500, workers=args.workers,
     )
     wall = time.time() - t0
 
@@ -96,6 +98,7 @@ def main():
         "merged_points": report["num_points"],
         "merged_nodes": report["num_nodes"],
         "lod_eval": report["lod_eval"],
+        "workers": args.workers,
         "wall_seconds": round(wall, 1),
         "peak_host_rss_gb": round(peak_rss_gb, 2),
     }
