@@ -305,14 +305,22 @@ def train(
             # chunk-AABB render cull (forward.cu:319-321): the training box
             # is the chunk cell with 1.5x slack (out-of-cell content near
             # the border still participates, matching the chunker's far-
-            # camera padding), protected rows exempt
+            # camera padding), protected rows exempt. XY ONLY: chunk cells
+            # are gridded over CAMERA centers (chunking.compute_chunks), so
+            # their z-extent is a thin slab at flight altitude — a 3D box
+            # excludes the ground content entirely (the same lesson the r3
+            # merge cull learned, hier/merge.py XY-only note; the first r4
+            # largescene run trained every chunk against empty renders).
             c = np.loadtxt(center_f).reshape(-1)[:3]
             e = np.loadtxt(extent_f).reshape(-1)[:3] * 1.5
+            lo = c - e / 2
+            hi = c + e / 2
+            lo[2], hi[2] = -1e9, 1e9
             cfg = dataclasses.replace(
                 cfg,
                 chunk_box=(
-                    tuple(float(v) for v in (c - e / 2)),
-                    tuple(float(v) for v in (c + e / 2)),
+                    tuple(float(v) for v in lo),
+                    tuple(float(v) for v in hi),
                 ),
             )
             print(f"chunk box cull: {cfg.chunk_box}", flush=True)
