@@ -185,18 +185,20 @@ def _maybe_shrink_budgets(cfg: TrainConfig, win_max_inst: int, win_max_blocks: i
     return cfg, shrunk
 
 
-def build_view_batch(cam, idx: int, cfg: TrainConfig, src_cam=None, src_depth=None):
-    mv = None
-    if src_cam is not None:
-        # src_depth=None → the jitted loss renders the source view itself and
-        # backprops through both views (MultiViewBatch docstring)
-        mv = MultiViewBatch(
-            src_image_gray=jnp.asarray(src_cam.grayscale()),
-            src_plane_depth=src_depth,
-            src_cam=src_cam.cam_params(),
-        )
+def _camera_device_arrays(cam):
+    """Per-camera device arrays, converted ONCE and cached on the camera.
+
+    Rebuilding jnp arrays from the host image every step leaked ~6.5 MB/step
+    of host RSS on the tunneled-TPU backend (the transfer buffers were never
+    released — the r4 analytic 30k run grew to ~60 GB and was OOM-killed at
+    iteration 24400). One conversion per camera also removes a per-step
+    host→device transfer from the dispatch path."""
+    dev = getattr(cam, "_dev_cache", None)
+    if dev is not None:
+        return dev
     use_depth = cam.invdepth is not None and cam.depth_reliable
     depth_mask = None
+    invdepth = None
     if use_depth:
         # per-PIXEL reliability (scene/cameras.py:101-119): supervise only
         # where monodepth produced a valid sample (invdepth > 0), intersected
@@ -206,13 +208,45 @@ def build_view_batch(cam, idx: int, cfg: TrainConfig, src_cam=None, src_depth=No
         if cam.alpha_mask is not None:
             dm = dm & (np.asarray(cam.alpha_mask) > 0.5)
         depth_mask = jnp.asarray(dm, jnp.float32)
+        invdepth = jnp.asarray(cam.invdepth)
+    dev = {
+        "cam": cam.cam_params(),
+        "image": jnp.asarray(cam.image),
+        "invdepth": invdepth,
+        "depth_mask": depth_mask,
+        "alpha_mask": (
+            jnp.asarray(cam.alpha_mask) if cam.alpha_mask is not None else None
+        ),
+        "gray": None,  # filled lazily (source views only)
+    }
+    try:
+        object.__setattr__(cam, "_dev_cache", dev)
+    except (AttributeError, TypeError):
+        pass
+    return dev
+
+
+def build_view_batch(cam, idx: int, cfg: TrainConfig, src_cam=None, src_depth=None):
+    mv = None
+    if src_cam is not None:
+        # src_depth=None → the jitted loss renders the source view itself and
+        # backprops through both views (MultiViewBatch docstring)
+        sdev = _camera_device_arrays(src_cam)
+        if sdev["gray"] is None:
+            sdev["gray"] = jnp.asarray(src_cam.grayscale())
+        mv = MultiViewBatch(
+            src_image_gray=sdev["gray"],
+            src_plane_depth=src_depth,
+            src_cam=sdev["cam"],
+        )
+    dev = _camera_device_arrays(cam)
     return ViewBatch(
-        cam=cam.cam_params(),
-        image=jnp.asarray(cam.image),
+        cam=dev["cam"],
+        image=dev["image"],
         image_idx=jnp.int32(idx),
-        invdepth=jnp.asarray(cam.invdepth) if use_depth else None,
-        depth_mask=depth_mask,
-        alpha_mask=jnp.asarray(cam.alpha_mask) if cam.alpha_mask is not None else None,
+        invdepth=dev["invdepth"],
+        depth_mask=dev["depth_mask"],
+        alpha_mask=dev["alpha_mask"],
         multi_view=mv,
     )
 
