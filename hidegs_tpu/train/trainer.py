@@ -525,6 +525,16 @@ def train(
             ts, batch, cfg, use_exposure=opt_cfg.use_exposure,
             row_budget=row_budget,
         )
+        if model_cfg.model_path and it in save_iterations:
+            # save BEFORE the schedule hook: an opacity reset landing on the
+            # same iteration otherwise leaves a freshly-clamped (near-
+            # transparent) model in the checkpoint — the analytic r4
+            # iteration_15000 evaluated at 8.5 dB while training loss was
+            # 0.2 for exactly this reason (15000 % 3000 == 0)
+            d = save_train_state(
+                ts, os.path.join(model_cfg.model_path, "point_cloud"), it
+            )
+            print(f"saved checkpoint → {d}", flush=True)
         pending_overflow.append((
             metrics.get("overflow", 0),
             metrics.get("block_overflow", 0),
@@ -590,11 +600,6 @@ def train(
             and it % pipe_cfg.debug_panel_every == 0
         ):
             save_frequency_panel(ts, cam, cfg, model_cfg.model_path, it)
-        if model_cfg.model_path and it in save_iterations:
-            d = save_train_state(
-                ts, os.path.join(model_cfg.model_path, "point_cloud"), it
-            )
-            print(f"saved checkpoint → {d}", flush=True)
     # drain counters from the final (partial) window — otherwise up to
     # OVERFLOW_CHECK_EVERY-1 trailing steps' overflow is never fetched and a
     # run can end with silently dropped contributions and no report
