@@ -59,9 +59,16 @@ def train_one_chunk(
         resolution=resolution,
         skybox_num=skybox_num,
     )
+    # Box cull ONLY with a scaffold: culling out-of-cell gaussians makes
+    # border pixels that show out-of-cell content unexplainable, and the
+    # gradient pushes in-cell gaussians to cover them (the r4 largescene
+    # A/B: 13.6 dB raw merge with cull-no-scaffold vs 17.0 in r3 without
+    # the cull). The reference pairs its boxmin/boxmax cull with the frozen
+    # neighbor-chunk scaffold for exactly this reason
+    # (gaussian_model.py:235-274 + forward.cu:319-321).
     pipe_cfg = PipelineConfig(
         raster_backend=backend, max_instances=max_instances, capacity=capacity,
-        chunk_box_cull=True,
+        chunk_box_cull=False,
     )
     opt_cfg = OptimizationConfig(
         iterations=iterations,
