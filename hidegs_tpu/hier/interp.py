@@ -178,7 +178,7 @@ class AdaptiveHierRenderer:
         import jax.numpy as jnp
 
         from hidegs_tpu.hier.lod import cut_size, expand_to_size, tau_to_target_size
-        from hidegs_tpu.raster.api import RasterConfig, suggest_max_instances
+        from hidegs_tpu.raster.api import RasterConfig, round_budget
 
         vp = jnp.asarray(np.asarray(cam.camera_center))
         target = 0.0 if tau_px == 0 else tau_to_target_size(tau_px, float(cam.fx))
@@ -188,12 +188,26 @@ class AdaptiveHierRenderer:
             self.nodes, self.boxes, jnp.float32(target), vp,
             budget=budget, num_points=self.num_points,
         )
-        config = RasterConfig(
-            backend=self.backend, tile=self.tile, depth_sort_bits=-1,
-            max_instances=suggest_max_instances(budget + self.skybox_count),
-        )
-        return render_hierarchy(
-            cut, *self.arrays, cam, skybox_count=self.skybox_count,
-            background=background, render_geo=render_geo, config=config,
-            active_sh_degree=active_sh_degree,
-        )
+        # instance budget: start at ~2 tile-instances per cut gaussian (the
+        # measured post-cull density at LOD scales; mult=8 over-allocated
+        # ~600 MB of instance streams at 1M-leaf cuts and OOMed the chip)
+        # and regrow on overflow like the trainer.
+        if not hasattr(self, "_max_inst"):
+            self._max_inst = 0
+        want = round_budget(max(2 * (budget + self.skybox_count), 1 << 14))
+        if want > self._max_inst or want * 4 <= self._max_inst:
+            self._max_inst = want
+        for _ in range(4):
+            config = RasterConfig(
+                backend=self.backend, tile=self.tile, depth_sort_bits=-1,
+                max_instances=self._max_inst,
+            )
+            out = render_hierarchy(
+                cut, *self.arrays, cam, skybox_count=self.skybox_count,
+                background=background, render_geo=render_geo, config=config,
+                active_sh_degree=active_sh_degree,
+            )
+            if int(out["overflow"]) == 0:
+                return out
+            self._max_inst = round_budget(int(out["num_instances"]) + 1)
+        return out
