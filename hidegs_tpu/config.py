@@ -71,6 +71,11 @@ class PipelineConfig:
     # scaffold/padding gaussians cannot soak up gradient. Skybox/scaffold
     # (protected) rows are exempt.
     chunk_box_cull: bool = False
+    # visible-row compaction (raster/preprocess.compact_visible): the trainer
+    # observes per-view visible-row demand and packs the visible rows into a
+    # fitted buffer before binning, shrinking every N-row stream. Bit-exact;
+    # off switch kept for debugging/bisection.
+    visible_compaction: bool = True
 
 
 @dataclass
@@ -92,6 +97,12 @@ class OptimizationConfig:
     lambda_dssim: float = 0.2
     densification_interval: int = 300
     opacity_reset_interval: int = 3_000
+    # reset backoff (r4 candid analysis: post-reset recovery is incomplete
+    # at low view counts — the analytic run's opacity median sat at the
+    # reset clamp at iteration 15000): no opacity resets AFTER this
+    # iteration. 0 = no backoff (reference behavior: resets run through the
+    # whole densify window).
+    opacity_reset_until_iter: int = 0
     densify_from_iter: int = 500
     densify_until_iter: int = 15_000
     densify_grad_threshold: float = 0.015

@@ -210,4 +210,11 @@ class AdaptiveHierRenderer:
             if int(out["overflow"]) == 0:
                 return out
             self._max_inst = round_budget(int(out["num_instances"]) + 1)
+        print(
+            f"WARNING: AdaptiveHierRenderer gave up after 4 regrow attempts "
+            f"with overflow={int(out['overflow'])} "
+            f"(budget {self._max_inst}, demand {int(out['num_instances'])}) "
+            f"— frame is missing instances",
+            flush=True,
+        )
         return out

@@ -45,6 +45,9 @@ def _conv2d_same(img2d: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # f32 edge responses: TPU's default bf16 conv precision injects ~1%
+        # noise into the gradient maps this regularizer differentiates
+        precision=jax.lax.Precision.HIGHEST,
     )[0, 0]
 
 

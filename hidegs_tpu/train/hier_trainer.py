@@ -102,7 +102,14 @@ def load_exposures(path: str, image_names=None) -> Optional[np.ndarray]:
         return np.stack([
             np.asarray(d.get(name, eye), np.float32) for name in image_names
         ])
-    keys = sorted(d.keys(), key=lambda k: int(k) if k.isdigit() else 0)
+    if not all(k.isdigit() for k in d):
+        # name-keyed file but no image_names to order it: JSON insertion
+        # order matched against cameras by index would silently mispair
+        # exposures with images (ADVICE r4 low)
+        raise ValueError(
+            f"{path} is keyed by image names; pass image_names= to order it"
+        )
+    keys = sorted(d.keys(), key=int)
     return np.stack([np.asarray(d[k], np.float32) for k in keys])
 
 

@@ -71,6 +71,9 @@ class TrainConfig:
     densify_until: int = 15_000
     densify_interval: int = 300
     opacity_reset_interval: int = 3_000
+    # no opacity resets after this iteration (0 = no backoff); see
+    # OptimizationConfig.opacity_reset_until_iter
+    opacity_reset_until: int = 0
     densify: DensifyConfig = field(default_factory=DensifyConfig)
     # SH warm-up
     sh_increase_interval: int = 1_000
@@ -274,11 +277,19 @@ def compute_losses(
         aux["needed_blocks"] = jnp.maximum(
             out["needed_blocks"], src_out["needed_blocks"]
         )
+        aux["visible_overflow"] = (
+            out["visible_overflow"] + src_out["visible_overflow"]
+        )
+        aux["num_visible"] = jnp.maximum(
+            out["num_visible"], src_out["num_visible"]
+        )
     else:
         aux["overflow"] = out["overflow"]
         aux["block_overflow"] = out["block_overflow"]
         aux["num_instances"] = out["num_instances"]
         aux["needed_blocks"] = out["needed_blocks"]
+        aux["visible_overflow"] = out["visible_overflow"]
+        aux["num_visible"] = out["num_visible"]
     return total, aux
 
 
@@ -467,7 +478,9 @@ def maybe_host_side_schedule(
     if cfg.densify_from <= step <= cfg.densify_until:
         if step % cfg.densify_interval == 0:
             ts, info = densify_step(ts, scene_extent, cfg)
-        if step % cfg.opacity_reset_interval == 0:
+        if step % cfg.opacity_reset_interval == 0 and (
+            cfg.opacity_reset_until <= 0 or step <= cfg.opacity_reset_until
+        ):
             # clamp to 0.01 AND zero the opacity Adam moments, matching the
             # reference's replace_tensor_to_optimizer surgery
             # (gaussian_model.py:542-560) — see reset_opacity_moments

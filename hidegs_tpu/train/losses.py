@@ -52,6 +52,14 @@ def _depthwise_conv2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
         padding="SAME",
         feature_group_count=C,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # HIGHEST is load-bearing: on TPU the default conv precision is bf16,
+        # whose ~1e-2 error in E[x²] makes the moment-difference variance
+        # estimates (E[x²]−μ²) negative beyond SSIM's c2=9e-4, flipping the
+        # denominator sign so ssim_map explodes and the mean clips to ±1
+        # exactly (the r4 terrain eval's test SSIM −1.0 / train 1.000 rows,
+        # VERDICT r4 weak #2). CPU tests never see it (conftest forces
+        # highest globally).
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 
@@ -69,8 +77,11 @@ def ssim(
     mu1 = _depthwise_conv2d(img1, win)
     mu2 = _depthwise_conv2d(img2, win)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_conv2d(img1 * img1, win) - mu1_sq
-    sigma2_sq = _depthwise_conv2d(img2 * img2, win) - mu2_sq
+    # clamp the moment-difference variance estimates to ≥0: even at f32,
+    # catastrophic cancellation can leave them slightly negative, and a
+    # negative sum in the denominator (vs c2=9e-4) unbounds the ratio
+    sigma1_sq = jnp.maximum(_depthwise_conv2d(img1 * img1, win) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_depthwise_conv2d(img2 * img2, win) - mu2_sq, 0.0)
     sigma12 = _depthwise_conv2d(img1 * img2, win) - mu12
     ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)

@@ -37,7 +37,9 @@ SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 def _conv(x, w, b):
     """NCHW conv3x3 SAME + bias. w: (out, in, 3, 3)."""
     y = jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+        x, w, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # metric stability: TPU default conv precision is bf16
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y + b[None, :, None, None]
 

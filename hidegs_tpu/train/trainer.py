@@ -9,6 +9,7 @@ densify/opacity-reset/SH schedules, checkpoints, metric logging.
 from __future__ import annotations
 
 import argparse
+import collections
 import dataclasses
 import os
 import random
@@ -77,6 +78,7 @@ def train_config_from_opt(opt: OptimizationConfig, pipe: PipelineConfig, n_init:
         densify_until=opt.densify_until_iter,
         densify_interval=opt.densification_interval,
         opacity_reset_interval=opt.opacity_reset_interval,
+        opacity_reset_until=opt.opacity_reset_until_iter,
         densify=DensifyConfig(
             grad_threshold=opt.densify_grad_threshold,
             abs_grad_threshold=opt.densify_abs_grad_threshold,
@@ -151,12 +153,43 @@ SHRINK_WINDOW = 200
 SHRINK_FACTOR = 0.7
 
 
-def _maybe_shrink_budgets(cfg: TrainConfig, win_max_inst: int, win_max_blocks: int, it: int):
+def _fit_visible_budget(peak_visible: int, row_budget: int) -> int:
+    """Visible-row compaction budget from an observed per-view peak: +25%
+    slack (new splats grow into their footprint between windows), quarter-
+    octave rounded. Returns 0 (compaction off) when the fit wouldn't beat
+    simply running on the full row prefix — the compaction itself costs one
+    N-row cumsum + scatter, so a ≥(1/SHRINK_FACTOR) margin must exist."""
+    from hidegs_tpu.raster.api import round_budget
+
+    if peak_visible <= 0:
+        return 0
+    fit = round_budget(int(peak_visible * 1.25))
+    if fit >= row_budget * SHRINK_FACTOR:
+        return 0
+    return fit
+
+
+def _maybe_shrink_budgets(
+    cfg: TrainConfig, win_max_inst: int, win_max_blocks: int, it: int,
+    win_max_visible: int = 0, row_budget: int = 0,
+):
     """Re-fit budgets to the window's peak demand (+12% slack, same policy as
     the initial fit). Returns (cfg, shrunk?)."""
     from hidegs_tpu.raster.api import round_budget
 
     shrunk = False
+    if win_max_visible > 0 and cfg.raster.max_visible:
+        fit_v = _fit_visible_budget(win_max_visible, row_budget or (1 << 62))
+        if fit_v and fit_v <= cfg.raster.max_visible * SHRINK_FACTOR:
+            print(
+                f"  shrinking max_visible {cfg.raster.max_visible} → {fit_v} "
+                f"(peak visible {win_max_visible})",
+                flush=True,
+            )
+            cfg = dataclasses.replace(
+                cfg, raster=dataclasses.replace(cfg.raster, max_visible=fit_v)
+            )
+            shrunk = True
     if win_max_inst > 0:
         fit = round_budget(int(win_max_inst * 1.12))
         if fit <= cfg.raster.max_instances * SHRINK_FACTOR:
@@ -185,25 +218,58 @@ def _maybe_shrink_budgets(cfg: TrainConfig, win_max_inst: int, win_max_blocks: i
     return cfg, shrunk
 
 
-def _camera_device_arrays(cam):
-    """Per-camera device arrays, converted ONCE and cached on the camera.
+# Device-side view cache: bounded LRU keyed by camera identity.
+#
+# Caching fixes the tunneled-TPU host-RSS leak (~6.5 MB/step of transfer
+# buffers never released — the r4 analytic 30k run grew to ~60 GB and was
+# OOM-killed at iteration 24400) and removes a per-step host→device transfer.
+# But an UNBOUNDED per-camera cache grows HBM with dataset size (thousands of
+# full-res views ≈ tens of GB — ADVICE r4 medium), so the cache is LRU with a
+# byte budget: small scenes stay fully resident (leak fix intact), large
+# scenes churn the oldest views. Budget via HIDEGS_VIEW_CACHE_MB (default
+# 4096 MB ≈ 500+ views at 512²).
+_VIEW_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_VIEW_CACHE_BYTES = [0]
 
-    Rebuilding jnp arrays from the host image every step leaked ~6.5 MB/step
-    of host RSS on the tunneled-TPU backend (the transfer buffers were never
-    released — the r4 analytic 30k run grew to ~60 GB and was OOM-killed at
-    iteration 24400). One conversion per camera also removes a per-step
-    host→device transfer from the dispatch path."""
-    dev = getattr(cam, "_dev_cache", None)
+
+def _view_cache_budget() -> int:
+    return int(os.environ.get("HIDEGS_VIEW_CACHE_MB", "4096")) * (1 << 20)
+
+
+def _entry_nbytes(dev: dict) -> int:
+    n = 0
+    for v in dev.values():
+        if hasattr(v, "nbytes"):
+            n += v.nbytes
+    return n
+
+
+def _view_cache_put(key, dev):
+    _VIEW_CACHE[key] = dev
+    _VIEW_CACHE_BYTES[0] += _entry_nbytes(dev)
+    budget = _view_cache_budget()
+    while _VIEW_CACHE_BYTES[0] > budget and len(_VIEW_CACHE) > 1:
+        _, old = _VIEW_CACHE.popitem(last=False)
+        _VIEW_CACHE_BYTES[0] -= _entry_nbytes(old)
+
+
+def _camera_device_arrays(cam):
+    """Per-camera device arrays from the bounded LRU cache (see above)."""
+    key = id(cam)
+    dev = _VIEW_CACHE.get(key)
     if dev is not None:
+        _VIEW_CACHE.move_to_end(key)
         return dev
     use_depth = cam.invdepth is not None and cam.depth_reliable
     depth_mask = None
     invdepth = None
     if use_depth:
-        # per-PIXEL reliability (scene/cameras.py:101-119): supervise only
-        # where monodepth produced a valid sample (invdepth > 0), intersected
-        # with the alpha mask when present — the per-image depth_reliable
-        # flag alone would let zero-filled holes pull depth toward infinity
+        # DELIBERATE DEVIATION from the reference mask (scene/cameras.py:
+        # 110-117 uses alpha_mask-or-ones): we additionally require
+        # invdepth > 0 per pixel, supervising only where monodepth produced
+        # a valid sample — the per-image depth_reliable flag alone would let
+        # zero-filled holes pull depth toward infinity (ADVICE r4 low;
+        # verified on the terrain runs, docs/BENCHMARKS.md)
         dm = np.asarray(cam.invdepth) > 0
         if cam.alpha_mask is not None:
             dm = dm & (np.asarray(cam.alpha_mask) > 0.5)
@@ -219,10 +285,7 @@ def _camera_device_arrays(cam):
         ),
         "gray": None,  # filled lazily (source views only)
     }
-    try:
-        object.__setattr__(cam, "_dev_cache", dev)
-    except (AttributeError, TypeError):
-        pass
+    _view_cache_put(key, dev)
     return dev
 
 
@@ -234,6 +297,7 @@ def build_view_batch(cam, idx: int, cfg: TrainConfig, src_cam=None, src_depth=No
         sdev = _camera_device_arrays(src_cam)
         if sdev["gray"] is None:
             sdev["gray"] = jnp.asarray(src_cam.grayscale())
+            _VIEW_CACHE_BYTES[0] += sdev["gray"].nbytes
         mv = MultiViewBatch(
             src_image_gray=sdev["gray"],
             src_plane_depth=src_depth,
@@ -378,10 +442,17 @@ def train(
     state = init_gaussians_from_scene(scene, model_cfg, capacity)
     ts = init_train_state(state, num_images=n_views, seed=seed)
     # active-row budget: the train step runs on the alive prefix only (rows
-    # beyond it are dead padding — init places points at the front, and
-    # compact_gaussians restores the prefix invariant after every densify).
-    # Makes the N-row stages scale with the live model, not the 4x-padded
-    # capacity (VERDICT r3 weak #2).
+    # beyond it are dead padding; compact_gaussians restores the prefix
+    # invariant after every densify). Makes the N-row stages scale with the
+    # live model, not the 4x-padded capacity (VERDICT r3 weak #2).
+    # Compact once up front: a scaffold (prepend_raw_points) lands in the
+    # LAST dead slots, outside the initial-cloud prefix — slicing without
+    # compaction would drop the scaffold from rendering AND from the
+    # chunk-box-cull exemption until the first densify event.
+    from hidegs_tpu.model.gaussians import compact_gaussians
+
+    g0, opt0 = compact_gaussians(ts.gaussians, ts.opt)
+    ts = ts._replace(gaussians=g0, opt=opt0)
     row_budget = fit_row_budget(int(ts.gaussians.alive.sum()), capacity)
 
     # auto-resume from the latest iteration_* checkpoint (Scene(load_iteration=-1)
@@ -439,6 +510,7 @@ def train(
     clean_steps = 0
     win_max_inst = 0
     win_max_blocks = 0
+    win_max_visible = 0
     last_schedule_event = 0  # last densify/opacity-reset step (shrink cooldown)
     budget_log = [(start_iter, cfg.raster.max_instances, cfg.raster.max_blocks)]
     for it in range(start_iter, cfg.iterations + 1):
@@ -455,7 +527,40 @@ def train(
                 total_skipped_steps += bad
                 print(f"  {bad} non-finite steps skipped in window ending @{it}",
                       flush=True)
+            v_ov = sum(v[5] for v in vals if len(v) > 6)
+            v_peak = max([0] + [v[6] for v in vals if len(v) > 6])
             changed = False
+            if v_ov > 0:
+                # visible-row compaction overflow DROPS model rows from the
+                # render — grow immediately (2x, capped at the row prefix,
+                # where render() auto-disables compaction)
+                new_vb = min(cfg.raster.max_visible * 2, row_budget)
+                print(
+                    f"  visible budget overflow ({v_ov} rows) — growing "
+                    f"max_visible {cfg.raster.max_visible} → {new_vb}",
+                    flush=True,
+                )
+                cfg = dataclasses.replace(
+                    cfg, raster=dataclasses.replace(cfg.raster, max_visible=new_vb)
+                )
+                changed = True
+            elif (
+                cfg.raster.max_visible == 0
+                and v_peak > 0
+                and getattr(pipe_cfg, "visible_compaction", True)
+            ):
+                # first demand observation: enable compaction if it pays
+                fit = _fit_visible_budget(v_peak, row_budget)
+                if fit:
+                    print(
+                        f"  enabling visible-row compaction: max_visible={fit} "
+                        f"(peak visible {v_peak} of {row_budget} rows)",
+                        flush=True,
+                    )
+                    cfg = dataclasses.replace(
+                        cfg, raster=dataclasses.replace(cfg.raster, max_visible=fit)
+                    )
+                    changed = True
             if ov > 0:
                 total_dropped_inst += ov
                 new_budget = cfg.raster.max_instances * 2
@@ -481,7 +586,7 @@ def train(
                 )
                 changed = True
             if changed:
-                clean_steps = win_max_inst = win_max_blocks = 0
+                clean_steps = win_max_inst = win_max_blocks = win_max_visible = 0
                 budget_log.append(
                     (it, cfg.raster.max_instances, cfg.raster.max_blocks)
                 )
@@ -489,6 +594,9 @@ def train(
                 clean_steps += len(vals)
                 win_max_inst = max([win_max_inst] + [v[2] for v in vals])
                 win_max_blocks = max([win_max_blocks] + [v[3] for v in vals])
+                win_max_visible = max(
+                    [win_max_visible] + [v[6] for v in vals if len(v) > 6]
+                )
                 # no shrinking near schedule events: during densification
                 # demand rises monotonically, and for ~2 windows after the
                 # last densify/reset the new splats are still growing into
@@ -500,9 +608,10 @@ def train(
                 settled = (it - last_schedule_event) >= 2 * SHRINK_WINDOW
                 if clean_steps >= SHRINK_WINDOW and settled:
                     cfg, shrunk = _maybe_shrink_budgets(
-                        cfg, win_max_inst, win_max_blocks, it
+                        cfg, win_max_inst, win_max_blocks, it,
+                        win_max_visible=win_max_visible, row_budget=row_budget,
                     )
-                    clean_steps = win_max_inst = win_max_blocks = 0
+                    clean_steps = win_max_inst = win_max_blocks = win_max_visible = 0
                     if shrunk:
                         budget_log.append(
                             (it, cfg.raster.max_instances, cfg.raster.max_blocks)
@@ -541,6 +650,8 @@ def train(
             metrics.get("num_instances", 0),
             metrics.get("needed_blocks", 0),
             metrics.get("step_ok", 1),
+            metrics.get("visible_overflow", 0),
+            metrics.get("num_visible", 0),
         ))
         # step passed explicitly: int(ts.step) would sync on the device every
         # iteration (see maybe_host_side_schedule docstring)
@@ -550,6 +661,7 @@ def train(
         if dens_info is not None or (
             cfg.densify_from <= it <= cfg.densify_until
             and it % cfg.opacity_reset_interval == 0
+            and (cfg.opacity_reset_until <= 0 or it <= cfg.opacity_reset_until)
         ):
             last_schedule_event = it
         if dens_info is not None:
@@ -567,6 +679,24 @@ def train(
                     f"(alive {int(dens_info['n_alive'])})",
                     flush=True,
                 )
+                # scale the visible-compaction budget with the row growth so
+                # the freshly-densified rows don't overflow it for the 8-step
+                # counter lag (overflow here drops rows from the RENDER)
+                if cfg.raster.max_visible and new_rb > row_budget:
+                    from hidegs_tpu.raster.api import round_budget
+
+                    grown = min(
+                        round_budget(
+                            int(cfg.raster.max_visible * new_rb / row_budget)
+                        ),
+                        new_rb,
+                    )
+                    cfg = dataclasses.replace(
+                        cfg,
+                        raster=dataclasses.replace(
+                            cfg.raster, max_visible=grown
+                        ),
+                    )
                 row_budget = new_rb
             print(
                 f"  densify@{it}: clone={int(dens_info['n_clone'])} "
