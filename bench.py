@@ -46,15 +46,25 @@ def measure(n_gaussians, h, w, scene_fn, iters=ITERS, probe=1 << 20):
     scene, cam = scene_fn()
     tile = 32
     ty, tx = tile_grid(h, w, tile)
-    tb0 = bin_gaussians(preprocess_gaussians(*scene, cam), ty, tx, probe, tile)
+    pre0 = preprocess_gaussians(
+        *scene, cam, screen_bounds=(tx * tile, ty * tile)
+    )
+    tb0 = bin_gaussians(pre0, ty, tx, probe, tile)
     assert int(tb0.overflow) == 0
     max_inst = round_budget(int(int(tb0.num_instances) * 1.12))
     blocks = int(needed_blocks(tb0.tile_count))
     max_blocks = -(-int(blocks * 1.12) // 256) * 256
     post_cull = int(jnp.sum(tb0.tile_count))
+    # visible-row compaction budget, same demand-fit policy and ≥2M-row
+    # crossover gate as the trainer (trainer._fit_visible_budget): the
+    # construction costs ~5 N-row passes, measured to pay only at ≥2M rows
+    n_vis = int(jnp.sum((pre0.visible & (pre0.radius > 0)).astype(jnp.int32)))
+    max_visible = round_budget(int(n_vis * 1.25))
+    if max_visible >= 0.7 * n_gaussians or n_gaussians < 2_000_000:
+        max_visible = 0
     cfg = RasterConfig(
         backend="pallas", tile=tile, max_instances=max_inst,
-        max_blocks=max_blocks, depth_sort_bits=-1,
+        max_blocks=max_blocks, depth_sort_bits=-1, max_visible=max_visible,
     )
     target = jnp.zeros((3, h, w))
 
@@ -63,14 +73,20 @@ def measure(n_gaussians, h, w, scene_fn, iters=ITERS, probe=1 << 20):
         return jnp.mean(jnp.abs(out["render"] - target))
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-    args = tuple(scene)
+    means3d, rest = scene[0], tuple(scene)[1:]
+    # Timing must CHAIN each iteration's input on the previous loss and end
+    # with ONE value fetch: on the tunneled backend block_until_ready can
+    # return without waiting for device completion (observed 0.05 ms
+    # "steps"), and per-dispatch RTT is ~20 ms — the chain forces serial
+    # device execution and the final float() forces completion.
+    s = jnp.float32(0.0)
     for _ in range(WARMUP):
-        loss, grads = grad_fn(*args)
-    jax.block_until_ready(grads)
+        s, grads = grad_fn(means3d * (1.0 + 1e-12 * s), *rest)
+    s = jnp.float32(float(s) * 0.0)
     t0 = time.perf_counter()
     for _ in range(iters):
-        loss, grads = grad_fn(*args)
-    jax.block_until_ready(grads)
+        s, grads = grad_fn(means3d * (1.0 + 1e-12 * s), *rest)
+    float(s)
     dt = time.perf_counter() - t0
     mpix_s = (h * w * iters) / dt / 1e6
     pairs_per_pixel = post_cull * (tile * tile) / (h * w)

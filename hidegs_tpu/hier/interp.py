@@ -149,7 +149,9 @@ class AdaptiveHierRenderer:
     def __init__(self, nodes, boxes, means3d, scales, quats, opacities, shs,
                  num_points: int, skybox_count: int = 0,
                  backend: str = "pallas", tile: int = 32,
-                 slack: float = 1.12, shrink_factor: float = 0.5):
+                 slack: float = 1.12, shrink_factor: float = 0.5,
+                 recount_frac: float = 0.01, recount_every: int = 60):
+        import numpy as np
         import jax.numpy as jnp
 
         self.nodes = nodes
@@ -157,6 +159,20 @@ class AdaptiveHierRenderer:
         self.arrays = (means3d, scales, quats, opacities, shs)
         self.num_points = int(num_points)
         self.skybox_count = int(skybox_count)
+        # frame-coherence: the per-frame `cut_size` count is an N-node pass
+        # PLUS one host↔device round trip (~20 ms over a tunneled chip —
+        # the τ-independent floor of the r4 adaptive frames). Consecutive
+        # frames at the same τ from a nearby viewpoint have near-identical
+        # cut sizes (the cut varies continuously with distance and the
+        # budget carries `slack`), so the count is reused until the camera
+        # moves `recount_frac`·scene-diagonal or `recount_every` frames
+        # pass; a stale budget is caught exactly by the num_selected check
+        # in render() (one fetch shared with the overflow counter).
+        bx = np.asarray(boxes)
+        diag = float(np.linalg.norm(bx[:, 1, :3].max(0) - bx[:, 0, :3].min(0)))
+        self.recount_dist = recount_frac * max(diag, 1e-6)
+        self.recount_every = int(recount_every)
+        self._count_cache = None
         self.backend = backend
         self.tile = tile
         self.slack = slack
@@ -180,14 +196,30 @@ class AdaptiveHierRenderer:
         from hidegs_tpu.hier.lod import cut_size, expand_to_size, tau_to_target_size
         from hidegs_tpu.raster.api import RasterConfig, round_budget
 
-        vp = jnp.asarray(np.asarray(cam.camera_center))
+        import jax
+
+        vp_np = np.asarray(cam.camera_center)
+        vp = jnp.asarray(vp_np)
         target = 0.0 if tau_px == 0 else tau_to_target_size(tau_px, float(cam.fx))
-        n_cut = int(cut_size(self.nodes, self.boxes, jnp.float32(target), vp))
+
+        # frame-coherent count reuse (see __init__): skip the count pass AND
+        # its host↔device sync when the camera is near the last counted
+        # viewpoint at the same τ
+        c = self._count_cache
+        if (
+            c is not None
+            and c["tau"] == tau_px
+            and c["frames"] < self.recount_every
+            and float(np.linalg.norm(vp_np - c["vp"])) <= self.recount_dist
+        ):
+            c["frames"] += 1
+            n_cut = c["n_cut"]
+        else:
+            n_cut = int(cut_size(self.nodes, self.boxes, jnp.float32(target), vp))
+            self._count_cache = {
+                "tau": tau_px, "vp": vp_np, "frames": 0, "n_cut": n_cut
+            }
         budget = self._fit_budget(n_cut)
-        cut = expand_to_size(
-            self.nodes, self.boxes, jnp.float32(target), vp,
-            budget=budget, num_points=self.num_points,
-        )
         # instance budget: start at ~2 tile-instances per cut gaussian (the
         # measured post-cull density at LOD scales; mult=8 over-allocated
         # ~600 MB of instance streams at 1M-leaf cuts and OOMed the chip)
@@ -197,7 +229,11 @@ class AdaptiveHierRenderer:
         want = round_budget(max(2 * (budget + self.skybox_count), 1 << 14))
         if want > self._max_inst or want * 4 <= self._max_inst:
             self._max_inst = want
-        for _ in range(4):
+        for _ in range(5):
+            cut = expand_to_size(
+                self.nodes, self.boxes, jnp.float32(target), vp,
+                budget=budget, num_points=self.num_points,
+            )
             config = RasterConfig(
                 backend=self.backend, tile=self.tile, depth_sort_bits=-1,
                 max_instances=self._max_inst,
@@ -207,14 +243,30 @@ class AdaptiveHierRenderer:
                 background=background, render_geo=render_geo, config=config,
                 active_sh_degree=active_sh_degree,
             )
-            if int(out["overflow"]) == 0:
+            # ONE fetch for all three counters — separate int() calls each
+            # pay a full tunnel round trip (~20 ms on the axon backend)
+            n_sel, overflow, n_inst = (
+                int(x)
+                for x in jax.device_get(
+                    (cut.num_selected, out["overflow"], out["num_instances"])
+                )
+            )
+            if n_sel > budget:
+                # a stale cached count under-budgeted the cut — refresh the
+                # cache from the true demand and re-expand
+                self._count_cache = {
+                    "tau": tau_px, "vp": vp_np, "frames": 0, "n_cut": n_sel
+                }
+                budget = self._fit_budget(n_sel)
+                continue
+            if overflow == 0:
                 return out
-            self._max_inst = round_budget(int(out["num_instances"]) + 1)
+            self._max_inst = round_budget(n_inst + 1)
         print(
-            f"WARNING: AdaptiveHierRenderer gave up after 4 regrow attempts "
-            f"with overflow={int(out['overflow'])} "
-            f"(budget {self._max_inst}, demand {int(out['num_instances'])}) "
-            f"— frame is missing instances",
+            f"WARNING: AdaptiveHierRenderer gave up after 5 attempts "
+            f"with overflow={overflow} cut={n_sel}/{budget} "
+            f"(instance budget {self._max_inst}, demand {n_inst}) "
+            f"— frame is missing content",
             flush=True,
         )
         return out

@@ -61,6 +61,14 @@ class RasterConfig:
     # expansion-order prefix fold (pallas_vjp._prefix_fold); "auto" picks by
     # instance budget (crossover measured on v5e, docs/BENCHMARKS.md r2).
     grad_reduce: str = "auto"
+    # visible-row compaction budget: with 0 < max_visible < N, the visible
+    # rows are packed into a (max_visible,)-row buffer before binning, so
+    # every downstream N-row stream (rects, expansion cumsum, attribute
+    # pack, the I-row gather table, the gradient fold) scales with the
+    # per-view VISIBLE count instead of the full model. Overflow is counted
+    # in `visible_overflow` for host-side re-budgeting (same protocol as
+    # max_instances); 0 disables. Bit-exact: culled rows contribute nothing.
+    max_visible: int = 0
     # optional hook applied to the PreprocessedGaussians pytree before
     # binning. Used by gaussian-sharded (model-axis) runs to insert a
     # with_sharding_constraint that replicates the compacted screen-space
@@ -114,6 +122,7 @@ def render(
         boxmin=boxmin,
         boxmax=boxmax,
         box_exempt=box_exempt,
+        screen_bounds=(tiles_x * config.tile, tiles_y * config.tile),
     )
 
     if config.pre_constraint is not None:
@@ -126,6 +135,22 @@ def render(
         out["radii"] = pre.radius
         out["visibility"] = pre.visible & (pre.radius > 0)
         return out
+
+    # full-model (N-domain) outputs captured before any compaction
+    radii_full = pre.radius
+    visible_full = pre.visible & (pre.radius > 0)
+    N_full = pre.visible.shape[0]
+    vidx = None
+    # demand counter even when compaction is off, so the host can FIT an
+    # initial max_visible budget from observed peaks before enabling it
+    num_visible = jnp.sum(visible_full.astype(jnp.int32))
+    visible_overflow = jnp.int32(0)
+    if 0 < config.max_visible < N_full:
+        from hidegs_tpu.raster.preprocess import compact_visible
+
+        pre, vidx, num_visible, visible_overflow = compact_visible(
+            pre, config.max_visible
+        )
 
     tb = bin_gaussians(
         pre, tiles_y, tiles_x, config.max_instances, config.tile,
@@ -158,19 +183,31 @@ def render(
         return x[..., :H, :W]
 
     color = crop(planes["render"]) + crop(planes["T_final"])[None] * background[:, None, None]
+    observe = planes["out_observe"]
+    if vidx is not None:
+        # kernel outputs are in the compacted domain — scatter per-gaussian
+        # observation counts back to model rows (unique indices; sentinel
+        # budget-slot index N drops)
+        observe = (
+            jnp.zeros((N_full,), observe.dtype)
+            .at[vidx]
+            .set(observe, mode="drop", unique_indices=True)
+        )
     out: RenderOutputs = {
         "render": color,
         "invdepth": crop(planes["invdepth"]),
         "alpha": crop(planes["alpha"]),
         "T_final": crop(planes["T_final"]),
-        "out_observe": planes["out_observe"],
-        "radii": pre.radius,
-        "visibility": pre.visible & (pre.radius > 0),
+        "out_observe": observe,
+        "radii": radii_full,
+        "visibility": visible_full,
         "overflow": tb.overflow,
         "block_overflow": block_overflow,
         # demand counters for host-side re-budgeting (grow AND shrink)
         "num_instances": tb.num_instances,
         "needed_blocks": blocks_needed,
+        "num_visible": num_visible,
+        "visible_overflow": visible_overflow,
     }
     if render_geo:
         nrm = crop(planes["normal"])

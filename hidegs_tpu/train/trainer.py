@@ -153,15 +153,24 @@ SHRINK_WINDOW = 200
 SHRINK_FACTOR = 0.7
 
 
+# compaction pays only past this row count: the construction (cumsum +
+# scatter + packed gather, ~5 N-row passes) costs about what it saves from
+# binning below it. Measured crossover on v5e (chained-dependency timing,
+# 18% visible, fwd+bwd): 1M rows 133→146 ms (LOSS), 4M rows 389→339 ms
+# (−13% WIN). docs/BENCHMARKS.md r5.
+COMPACTION_MIN_ROWS = 2_000_000
+
+
 def _fit_visible_budget(peak_visible: int, row_budget: int) -> int:
     """Visible-row compaction budget from an observed per-view peak: +25%
     slack (new splats grow into their footprint between windows), quarter-
     octave rounded. Returns 0 (compaction off) when the fit wouldn't beat
-    simply running on the full row prefix — the compaction itself costs one
-    N-row cumsum + scatter, so a ≥(1/SHRINK_FACTOR) margin must exist."""
+    simply running on the full row prefix — the compaction itself costs
+    ~5 N-row passes, so it needs both a size margin and enough rows for the
+    N-row savings to exceed the construction (COMPACTION_MIN_ROWS)."""
     from hidegs_tpu.raster.api import round_budget
 
-    if peak_visible <= 0:
+    if peak_visible <= 0 or row_budget < COMPACTION_MIN_ROWS:
         return 0
     fit = round_budget(int(peak_visible * 1.25))
     if fit >= row_budget * SHRINK_FACTOR:

@@ -299,3 +299,88 @@ def test_chunk_aabb_cull():
         np.asarray(out_ex["render"]), np.asarray(out_free["render"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def _partially_visible_scene(n=400, seed=2):
+    """Toy scene with a block of rows pushed far outside the frustum, so
+    visibility compaction has real work to do."""
+    scene, cam = small_scene(n=n, seed=seed)
+    means, scales, quats, opac, shs = scene
+    means = means.at[:: 3].add(jnp.asarray([1.0e4, 0.0, 0.0]))
+    return (means, scales, quats, opac, shs), cam
+
+
+def test_visible_compaction_bit_exact():
+    """max_visible compaction must not change ANY output (render, planes,
+    observe, counters) when the budget holds every visible row."""
+    scene, cam = _partially_visible_scene(n=400, seed=2)
+    base = render(*scene, cam, render_geo=True, config=RasterConfig(backend="jnp"))
+    n_vis = int(base["num_visible"])
+    assert 0 < n_vis < 400
+    from hidegs_tpu.raster.api import round_budget
+
+    budget = round_budget(n_vis)
+    out = render(
+        *scene, cam, render_geo=True,
+        config=RasterConfig(backend="jnp", max_visible=budget),
+    )
+    assert int(out["visible_overflow"]) == 0
+    assert int(out["num_visible"]) == n_vis
+    for k in ("render", "invdepth", "alpha", "T_final", "plane_depth",
+              "rendered_normal", "rendered_distance"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(base[k]), atol=1e-6, err_msg=k
+        )
+    # N-domain per-gaussian outputs keep full-model indexing
+    np.testing.assert_array_equal(
+        np.asarray(out["visibility"]), np.asarray(base["visibility"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["radii"]), np.asarray(base["radii"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["out_observe"]), np.asarray(base["out_observe"])
+    )
+
+
+def test_visible_compaction_gradients_match():
+    """Gradients through the compaction gather must equal the uncompacted
+    path's (the gather transpose is a unique-index scatter — exact)."""
+    scene, cam = _partially_visible_scene(n=300, seed=3)
+    means, scales, quats, opac, shs = scene
+
+    def loss(means, opac, cfg):
+        out = render(means, scales, quats, opac, shs, cam, config=cfg)
+        return jnp.sum(out["render"] ** 2) + jnp.sum(out["invdepth"])
+
+    base_cfg = RasterConfig(backend="jnp")
+    n_vis = int(render(*scene, cam, config=base_cfg)["num_visible"])
+    from hidegs_tpu.raster.api import round_budget
+
+    comp_cfg = RasterConfig(backend="jnp", max_visible=round_budget(n_vis))
+    g_base = jax.grad(loss, argnums=(0, 1))(means, opac, base_cfg)
+    g_comp = jax.grad(loss, argnums=(0, 1))(means, opac, comp_cfg)
+    for gb, gc in zip(g_base, g_comp):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gb), atol=1e-5)
+
+
+def test_visible_compaction_overflow_counts_and_drops_tail():
+    """An under-sized budget reports the shortfall and drops the HIGHEST
+    visible row indices (deterministic), still rendering the kept prefix."""
+    scene, cam = _partially_visible_scene(n=400, seed=2)
+    base = render(*scene, cam, config=RasterConfig(backend="jnp"))
+    n_vis = int(base["num_visible"])
+    budget = n_vis // 2
+    assert budget > 0
+    out = render(
+        *scene, cam, config=RasterConfig(backend="jnp", max_visible=budget)
+    )
+    assert int(out["visible_overflow"]) == n_vis - budget
+    assert int(out["num_visible"]) == n_vis
+    assert np.isfinite(np.asarray(out["render"])).all()
+    # kept set = first `budget` visible rows: their observe counts match a
+    # render of only those rows
+    vis_rows = np.where(np.asarray(base["visibility"]))[0]
+    dropped = vis_rows[budget:]
+    obs = np.asarray(out["out_observe"])
+    assert (obs[dropped] == 0).all()
