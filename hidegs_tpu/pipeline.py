@@ -32,6 +32,7 @@ def train_one_chunk(
     resolution: int = -1,
     skybox_num: int = 0,
     log_every: int = 200,
+    scaffold_dir: str = "",
 ) -> str:
     """Train chunk (ci, cj) and build its hierarchy. Idempotent: returns
     immediately if `hierarchy.hier` already exists (fan-out resume). This is
@@ -58,17 +59,19 @@ def train_one_chunk(
         images=os.path.join(os.path.relpath(source_path, cdir), "images"),
         resolution=resolution,
         skybox_num=skybox_num,
+        scaffold_file=scaffold_dir,
     )
-    # Box cull ONLY with a scaffold: culling out-of-cell gaussians makes
-    # border pixels that show out-of-cell content unexplainable, and the
-    # gradient pushes in-cell gaussians to cover them (the r4 largescene
-    # A/B: 13.6 dB raw merge with cull-no-scaffold vs 17.0 in r3 without
-    # the cull). The reference pairs its boxmin/boxmax cull with the frozen
-    # neighbor-chunk scaffold for exactly this reason
-    # (gaussian_model.py:235-274 + forward.cu:319-321).
+    # Box cull ONLY with a scaffold (the reference pairing,
+    # gaussian_model.py:235-274 + forward.cu:319-321): culling out-of-cell
+    # gaussians without one makes border pixels that show out-of-cell
+    # content unexplainable, and the gradient pushes in-cell gaussians to
+    # cover them (the r4 largescene A/B: 13.6 dB raw merge with
+    # cull-no-scaffold vs 17.0 in r3 without the cull). With a scaffold the
+    # frozen coarse-model border annulus explains those pixels, so the cull
+    # can confine gradient to the cell.
     pipe_cfg = PipelineConfig(
         raster_backend=backend, max_instances=max_instances, capacity=capacity,
-        chunk_box_cull=False,
+        chunk_box_cull=bool(scaffold_dir),
     )
     opt_cfg = OptimizationConfig(
         iterations=iterations,
@@ -139,6 +142,7 @@ def _fanout_chunks(
             "--backend", kw["backend"],
             "--resolution", str(kw["resolution"]),
             "--skybox_num", str(kw["skybox_num"]),
+            "--scaffold_dir", kw.get("scaffold_dir", ""),
         ]
 
     pending = list(chunks)
@@ -190,6 +194,7 @@ def run_pipeline(
     log_every: int = 200,
     eval_taus=(0.0, 3.0, 6.0, 15.0),
     workers: int = 1,
+    coarse_iterations: int = 0,
 ):
     """Returns the path of the merged global hierarchy."""
     from hidegs_tpu.data import colmap
@@ -213,6 +218,50 @@ def run_pipeline(
     chunking.write_chunks(chunks, cams, imgs, xyz, rgb, err, chunks_dir)
     print(f"[pipeline] {len(chunks)} chunks ({time.time()-t0:.0f}s)", flush=True)
 
+    # ---- 1.5 coarse global model → per-chunk scaffold ------------------
+    # The reference trains each chunk against a frozen border scaffold cut
+    # from a coarse whole-scene model (gaussian_model.py:235-274); the
+    # scaffold explains the border pixels showing out-of-cell content so
+    # the chunk-AABB cull can ship ON (see train_one_chunk's note).
+    scaffold_dir = ""
+    if coarse_iterations > 0:
+        from hidegs_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
+        from hidegs_tpu.train.trainer import train as _train
+
+        coarse_out = os.path.join(output_path, "coarse")
+        sdir = os.path.join(
+            coarse_out, "point_cloud", f"iteration_{coarse_iterations}"
+        )
+        if os.path.exists(os.path.join(sdir, "point_cloud.ply")):
+            print("[pipeline] coarse model exists, skipping", flush=True)
+        else:
+            print(f"[pipeline] coarse global model ({coarse_iterations} iters)",
+                  flush=True)
+            _train(
+                ModelConfig(
+                    source_path=source_path, model_path=coarse_out,
+                    resolution=resolution, skybox_num=skybox_num,
+                ),
+                PipelineConfig(
+                    raster_backend=backend, max_instances=max_instances,
+                    capacity=capacity,
+                ),
+                OptimizationConfig(
+                    iterations=coarse_iterations,
+                    densify_from_iter=max(coarse_iterations // 10, 50),
+                    densify_until_iter=int(coarse_iterations * 0.8),
+                    densification_interval=max(coarse_iterations // 10, 50),
+                    opacity_reset_interval=10 * coarse_iterations,
+                    freq_warmup_iterations=max(coarse_iterations // 10, 20),
+                    single_view_weight=0.0,
+                    multi_view_ncc_weight=0.0,
+                ),
+                save_iterations=(coarse_iterations,), log_every=log_every,
+            )
+        scaffold_dir = sdir
+        print(f"[pipeline] scaffold source: {scaffold_dir} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
     # ---- 2. per-chunk training + hierarchy build -----------------------
     # Sequential in-process by default; `workers > 1` fans each chunk out to
     # its own subprocess (the TPU analog of the reference's SLURM fan-out,
@@ -228,6 +277,7 @@ def run_pipeline(
             iterations=iterations, capacity=capacity,
             max_instances=max_instances, backend=backend,
             resolution=resolution, skybox_num=skybox_num,
+            scaffold_dir=scaffold_dir,
         )
         hier_paths = []
         for ch in chunks:
@@ -243,7 +293,7 @@ def run_pipeline(
                 iterations=iterations, capacity=capacity,
                 max_instances=max_instances, backend=backend,
                 resolution=resolution, skybox_num=skybox_num,
-                log_every=log_every,
+                log_every=log_every, scaffold_dir=scaffold_dir,
             ))
             print(f"[pipeline] chunk_{ch.i}_{ch.j} done ({time.time()-t0:.0f}s)",
                   flush=True)
@@ -385,6 +435,12 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, nargs=2, default=None, metavar=("I", "J"),
                     help="worker mode: train ONLY chunk (i, j) from an "
                          "already-chunked output dir, then exit")
+    ap.add_argument("--coarse_iterations", type=int, default=0,
+                    help="train a coarse whole-scene model first and use its "
+                         "border annulus as each chunk's frozen scaffold "
+                         "(enables the chunk-AABB cull, reference pairing)")
+    ap.add_argument("--scaffold_dir", default="",
+                    help="worker mode: scaffold checkpoint dir for the chunk")
     args = ap.parse_args(argv)
     if args.chunk is not None:
         train_one_chunk(
@@ -393,6 +449,7 @@ def main(argv=None):
             iterations=args.iterations, capacity=args.capacity,
             max_instances=args.max_instances, backend=args.backend,
             resolution=args.resolution, skybox_num=args.skybox_num,
+            scaffold_dir=args.scaffold_dir,
         )
         return
     run_pipeline(
@@ -402,6 +459,7 @@ def main(argv=None):
         capacity=args.capacity, max_instances=args.max_instances,
         backend=args.backend, resolution=args.resolution, skybox_num=args.skybox_num,
         eval_taus=tuple(args.eval_taus), workers=args.workers,
+        coarse_iterations=args.coarse_iterations,
     )
 
 

@@ -92,21 +92,29 @@ def train_config_from_opt(opt: OptimizationConfig, pipe: PipelineConfig, n_init:
     )
 
 
-def init_gaussians_from_scene(scene, model_cfg: ModelConfig, capacity: int) -> GaussianState:
+def load_scene_scaffold(model_cfg: ModelConfig):
+    """Border scaffold for a chunk scene (gaussian_model.py:235-274): the
+    annulus of a coarse/neighbor model around the chunk cell, loaded as raw
+    params. None when model_cfg.scaffold_file is empty."""
+    if not model_cfg.scaffold_file:
+        return None
+    from hidegs_tpu.utils.storage import load_scaffold
+
+    center_f = os.path.join(model_cfg.source_path, "center.txt")
+    extent_f = os.path.join(model_cfg.source_path, "extent.txt")
+    center = np.loadtxt(center_f).reshape(-1)[:3]
+    extent = np.loadtxt(extent_f).reshape(-1)[:3]
+    return load_scaffold(model_cfg.scaffold_file, center, extent)
+
+
+def init_gaussians_from_scene(
+    scene, model_cfg: ModelConfig, capacity: int, scaffold=None
+) -> GaussianState:
     pts = np.asarray(scene.info.points, np.float32)
     cols = np.asarray(scene.info.colors, np.float32)
     protected = None
-    scaffold = None
-    if model_cfg.scaffold_file:
-        # neighbor-chunk border scaffold (gaussian_model.py:235-274): raw
-        # params prepended below, protected from densify/prune/reset
-        from hidegs_tpu.utils.storage import load_scaffold
-
-        center_f = os.path.join(model_cfg.source_path, "center.txt")
-        extent_f = os.path.join(model_cfg.source_path, "extent.txt")
-        center = np.loadtxt(center_f).reshape(-1)[:3]
-        extent = np.loadtxt(extent_f).reshape(-1)[:3]
-        scaffold = load_scaffold(model_cfg.scaffold_file, center, extent)
+    if scaffold is None:
+        scaffold = load_scene_scaffold(model_cfg)
     if model_cfg.skybox_num > 0:
         sky_pts, sky_cols = make_skybox(
             model_cfg.skybox_num, scene.info.nerf_norm_center, scene.info.nerf_norm_radius
@@ -399,11 +407,28 @@ def train(
     n_views = len(scene.train_cameras)
     assert n_views > 0, "no training cameras"
 
+    scaffold = load_scene_scaffold(model_cfg)
+    n_scaffold = 0 if scaffold is None else len(scaffold["xyz"])
+    # capacity must hold the frozen scaffold rows too (prepend_raw_points
+    # raises when the dead tail can't fit them); scaffold rows never grow,
+    # so they add 1x, not 4x
     n_init = len(scene.info.points) + model_cfg.skybox_num
     capacity = pipe_cfg.capacity or min(
-        max(1 << (int(np.ceil(np.log2(max(4 * n_init, 1 << 14)))) ), 1 << 14),
+        max(
+            1 << int(np.ceil(np.log2(max(4 * n_init + n_scaffold, 1 << 14)))),
+            1 << 14,
+        ),
         opt_cfg.max_all_points,
     )
+    if pipe_cfg.capacity and n_scaffold:
+        need = int(1.5 * n_init) + n_scaffold
+        if capacity < need:
+            capacity = 1 << int(np.ceil(np.log2(need)))
+            print(
+                f"capacity raised to {capacity} to hold the {n_scaffold}-row "
+                "scaffold",
+                flush=True,
+            )
     cfg = train_config_from_opt(opt_cfg, pipe_cfg, n_init)
     if getattr(pipe_cfg, "chunk_box_cull", False):
         center_f = os.path.join(model_cfg.source_path, "center.txt")
@@ -448,7 +473,7 @@ def train(
         cfg = dataclasses.replace(
             cfg, raster=dataclasses.replace(cfg.raster, max_blocks=blocks0)
         )
-    state = init_gaussians_from_scene(scene, model_cfg, capacity)
+    state = init_gaussians_from_scene(scene, model_cfg, capacity, scaffold=scaffold)
     ts = init_train_state(state, num_images=n_views, seed=seed)
     # active-row budget: the train step runs on the alive prefix only (rows
     # beyond it are dead padding; compact_gaussians restores the prefix

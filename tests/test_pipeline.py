@@ -160,3 +160,37 @@ def test_chunk_worker_cli_idempotent(two_cluster_scene, tmp_path):
     p2 = train_one_chunk(str(two_cluster_scene), chunks_dir, ch.i, ch.j,
                          iterations=10, capacity=256, max_instances=1 << 12)
     assert p2 == p1 and time.time() - t0 < 5.0  # short-circuited
+
+
+@pytest.mark.slow
+def test_pipeline_coarse_scaffold_enables_cull(two_cluster_scene, tmp_path):
+    """With coarse_iterations > 0 the pipeline trains a coarse global model,
+    hands each chunk its border annulus as a frozen scaffold, and ships the
+    chunk-AABB cull ON (the reference pairing)."""
+    import json
+
+    from hidegs_tpu.pipeline import run_pipeline
+
+    out = str(tmp_path / "out_scaffold")
+    merged_path = run_pipeline(
+        str(two_cluster_scene), out,
+        chunk_size=14.0, min_n_cams=3, iterations=25, post_opt_iterations=0,
+        capacity=1024, max_instances=1 << 12, add_far_cams=False,
+        log_every=1000, coarse_iterations=20,
+    )
+    assert os.path.exists(merged_path)
+    # coarse model exists and was used as the scaffold source
+    coarse_ply = os.path.join(
+        out, "coarse", "point_cloud", "iteration_20", "point_cloud.ply"
+    )
+    assert os.path.exists(coarse_ply)
+    # every chunk's saved cfg shows the cull ON + the scaffold path
+    chunks = json.load(open(os.path.join(out, "pipeline.json")))["chunks"]
+    assert chunks
+    for i, j in chunks:
+        cfg_path = os.path.join(
+            out, "chunks", f"chunk_{i}_{j}", "trained", "cfg_args.json"
+        )
+        cfg = json.load(open(cfg_path))
+        assert cfg["pipeline"]["chunk_box_cull"] is True
+        assert cfg["model"]["scaffold_file"].endswith("iteration_20")
