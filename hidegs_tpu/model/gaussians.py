@@ -179,6 +179,9 @@ def prepend_raw_points(state: GaussianState, raw: dict, protected: bool = True) 
     they do not disturb the index layout of the initial cloud. Raises if the
     capacity cannot hold them."""
     n_new = len(raw["xyz"])
+    if n_new == 0:
+        # guard: dead_tail[-0:] below would select EVERY dead slot
+        return state
     C = state.capacity
     alive = np.asarray(state.alive)
     dead_tail = np.where(~alive)[0]

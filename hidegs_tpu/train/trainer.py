@@ -409,6 +409,9 @@ def train(
 
     scaffold = load_scene_scaffold(model_cfg)
     n_scaffold = 0 if scaffold is None else len(scaffold["xyz"])
+    if model_cfg.scaffold_file:
+        print(f"scaffold: {n_scaffold} border rows from "
+              f"{model_cfg.scaffold_file}", flush=True)
     # capacity must hold the frozen scaffold rows too (prepend_raw_points
     # raises when the dead tail can't fit them); scaffold rows never grow,
     # so they add 1x, not 4x

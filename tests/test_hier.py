@@ -439,3 +439,56 @@ def test_cut_size_matches_expand_and_adaptive_renderer():
         np.asarray(out_fine["render"]), np.asarray(fixed["render"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_adaptive_renderer_count_cache():
+    """Frame-coherent cut-count reuse: a repeated (viewpoint, tau) frame
+    skips the count pass; a big camera move or tau change recounts; a stale
+    under-budget is healed by the num_selected check."""
+    import jax.numpy as jnp
+
+    from hidegs_tpu.data.synthetic import make_toy_gaussians, ring_camera
+    from hidegs_tpu.hier.build import build_hierarchy
+    from hidegs_tpu.hier.interp import AdaptiveHierRenderer
+
+    # > 1024 leaves so the budget floor cannot mask a poisoned cached count
+    scene = make_toy_gaussians(3000, seed=7)
+    h = build_hierarchy(
+        np.asarray(scene.means3d), np.asarray(scene.quats),
+        np.asarray(scene.scales), np.asarray(scene.opacities),
+        np.asarray(scene.shs),
+    )
+    r = AdaptiveHierRenderer(
+        jnp.asarray(h.nodes), jnp.asarray(h.boxes), jnp.asarray(h.pos),
+        jnp.exp(jnp.asarray(h.scale)), jnp.asarray(h.rot),
+        jnp.asarray(h.alpha), jnp.asarray(h.shs),
+        num_points=h.num_points, backend="jnp",
+    )
+    cam0 = ring_camera(0, n_cams=4, height=48, width=48)
+    out0 = r.render(cam0, 2.0)
+    assert r._count_cache is not None and r._count_cache["frames"] == 0
+    n0 = r._count_cache["n_cut"]
+    out1 = r.render(cam0, 2.0)  # same frame → cache hit
+    assert r._count_cache["frames"] == 1
+    assert r._count_cache["n_cut"] == n0
+    np.testing.assert_allclose(
+        np.asarray(out1["render"]), np.asarray(out0["render"]), atol=1e-6
+    )
+    # tau change → recount
+    r.render(cam0, 8.0)
+    assert r._count_cache["tau"] == 8.0 and r._count_cache["frames"] == 0
+    # big move (another ring camera is >> recount_dist away) → recount
+    cam1 = ring_camera(2, n_cams=4, height=48, width=48)
+    r.render(cam1, 8.0)
+    assert r._count_cache["frames"] == 0
+    # stale cache healing: poison the cached count far below the true cut
+    r._count_cache = {"tau": 0.0, "vp": np.asarray(cam0.camera_center),
+                      "frames": 0, "n_cut": 8}
+    r._budget = 0
+    out = r.render(cam0, 0.0)
+    assert int(out["overflow"]) == 0
+    # the healed budget covers the true leaf cut
+    assert r._count_cache["n_cut"] >= 3000
+    assert r._budget >= 3000
+    img = np.asarray(out["render"])
+    assert np.isfinite(img).all() and img.max() > 0

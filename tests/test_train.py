@@ -349,3 +349,26 @@ def test_finite_step_gate_skips_poisoned_step():
     )
     assert float(metrics["step_ok"]) == 1.0
     assert np.abs(np.asarray(ts.gaussians.params.xyz) - xyz_before).max() > 0
+
+
+def test_opacity_reset_backoff():
+    """opacity_reset_until gates resets late in the densify window (r4
+    candid analysis: post-reset recovery is incomplete at low view counts;
+    the r5 campaign lever)."""
+    cams, gts, state = make_problem()
+    cfg = TrainConfig(
+        iterations=10, raster=RCFG, freq_warmup=0,
+        densify_from=1, densify_until=100, densify_interval=1000,
+        opacity_reset_interval=3, opacity_reset_until=3,
+    )
+    ts = init_train_state(state, num_images=N_VIEWS)
+    for it in range(1, 7):
+        batch = ViewBatch(cam=cams[0], image=gts[0], image_idx=jnp.int32(0))
+        ts, _ = train_step(ts, batch, cfg)
+        ts, _ = maybe_host_side_schedule(ts, cfg, scene_extent=3.0)
+        if it == 3:
+            # reset at 3 still fires (within the backoff window)
+            assert float(jnp.abs(ts.opt.m.opacity).max()) == 0.0
+    # the step-6 reset was SUPPRESSED: moments re-accumulated after step 3
+    # and were not re-zeroed
+    assert float(jnp.abs(ts.opt.m.opacity).max()) > 0.0
