@@ -81,7 +81,10 @@ def make_cameras(res: int):
     return train, test
 
 
-def loss_config(name: str, raster: RasterConfig, steps: int) -> TrainConfig:
+def loss_config(
+    name: str, raster: RasterConfig, steps: int,
+    lambda_freq: float = 1e-3, lambda_scale: float = 5e-3,
+) -> TrainConfig:
     freq = name in ("freq", "freq_sv", "full", "full_sg")
     sv = name in ("freq_sv", "full", "full_sg")
     mv = name in ("full", "full_sg")
@@ -95,8 +98,8 @@ def loss_config(name: str, raster: RasterConfig, steps: int) -> TrainConfig:
         # signal. Holding depth at 1.0 all run (the r4 first ablation) never
         # lets mv matter.
         depth_schedule_from=steps // 4,
-        lambda_freq=1e-3 if freq else 0.0,
-        lambda_scale=5e-3 if freq else 0.0,
+        lambda_freq=lambda_freq if freq else 0.0,
+        lambda_scale=lambda_scale if freq else 0.0,
         freq_warmup=min(500, steps // 6),
         single_view_weight=0.015 if sv else 0.0,
         single_view_from=steps // 4,
@@ -127,8 +130,10 @@ def evaluate(ts, test_cams, test_gts, cfg):
 
 def run_config(name, steps, res, train_cams, train_gts, test_cams, test_gts,
                raster, eval_every, capacity=1 << 16, seed=0,
-               train_invdepths=None, init_pc=None):
-    cfg = loss_config(name, raster, steps)
+               train_invdepths=None, init_pc=None,
+               lambda_freq=1e-3, lambda_scale=5e-3):
+    cfg = loss_config(name, raster, steps, lambda_freq=lambda_freq,
+                      lambda_scale=lambda_scale)
     if init_pc is not None:
         pts, cols = init_pc
     else:
@@ -198,6 +203,8 @@ def main():
                     default=["base", "freq", "freq_sv", "full", "full_sg"])
     ap.add_argument("--seeds", type=int, default=1,
                     help="independent runs per config (error bars)")
+    ap.add_argument("--lambda_freq", type=float, default=1e-3)
+    ap.add_argument("--lambda_scale", type=float, default=5e-3)
     ap.add_argument("--out", default="docs/quality_ablation_r3.json")
     ap.add_argument("--terrain", action="store_true",
                     help="realistic terrain GT (view-dependent shading + "
@@ -277,7 +284,9 @@ def main():
                                train_gts, test_cams, test_gts, raster,
                                args.eval_every, capacity=args.capacity,
                                seed=seed, train_invdepths=train_invdepths,
-                               init_pc=init_pc)
+                               init_pc=init_pc,
+                               lambda_freq=args.lambda_freq,
+                               lambda_scale=args.lambda_scale)
             runs.append({"seed": seed, "curve": curve})
             report["configs"][name] = runs
             os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

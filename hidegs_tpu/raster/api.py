@@ -55,6 +55,12 @@ class RasterConfig:
     # gradient reductions as MXU matmuls against a tile-centered pixel basis
     # instead of VPU elementwise + cross-sublane reductions
     mm_geom: bool = _MM_GEOM_DEFAULT
+    # pallas backend: store the kernel attribute stream as bfloat16 (half
+    # the window-DMA bytes; mean2d rides tile-relative so pixel precision
+    # survives — see expand_to_instances). ~0.4% rounding on conic/rgb/
+    # opacity; forces the id-free "prefix" gradient fold. EXPERIMENTAL —
+    # r4 VERDICT item #4; keep off unless the A/B shows a win.
+    bf16_stream: bool = False
     # pallas backend: instance→gaussian gradient fold. "scatter" is XLA's
     # segment-sum (row-serial scatter-add on TPU: fast at small budgets,
     # 74.6 ms of a 126 ms step at 1M gaussians); "prefix" is the scatter-free
@@ -170,9 +176,12 @@ def render(
             # cost overtakes the prefix fold's fixed sort+gather+cumsum
             # passes around ~2^18 instances
             grad_reduce = "scatter" if config.max_instances <= (1 << 18) else "prefix"
+        if config.bf16_stream:
+            grad_reduce = "prefix"  # bf16 can't carry gaussian ids
         planes = blend_tiles_pallas(
             pre, tb, tiles_y, tiles_x, config.tile, config.max_blocks,
             mm=config.mm_geom, grad_reduce=grad_reduce,
+            bf16=config.bf16_stream,
         )
         if config.max_blocks:
             block_overflow = jnp.maximum(blocks_needed - config.max_blocks, 0)

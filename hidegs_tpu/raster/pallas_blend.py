@@ -98,16 +98,55 @@ def pack_gaussian_matrix(pre) -> jnp.ndarray:
     )  # (N+1, ATTR)
 
 
-def expand_to_instances(packed: jnp.ndarray, gid: jnp.ndarray) -> jnp.ndarray:
+def expand_to_instances(
+    packed: jnp.ndarray,
+    gid: jnp.ndarray,
+    tile_start=None,
+    tiles_x: int = 0,
+    tile: int = 16,
+    bf16: bool = False,
+) -> jnp.ndarray:
     """(N+1, ATTR) gaussian rows → (ATTR, I + 2*CHUNK) sorted instance stream.
 
     One contiguous row gather (the TPU-friendly move), transposed to
     lane-major, padded with one spare chunk so every kernel window is in
     bounds. Invalid instances (gid ≥ N) read the zero sentinel row.
+
+    `bf16`: store the stream as bfloat16 (half the HBM bytes and window-DMA
+    traffic — the r4 VERDICT #4 experiment). Absolute pixel coordinates do
+    NOT survive bf16 (step 8px at x≈1500), so mean2d is re-based to each
+    instance's OWNING-TILE ORIGIN first (|rel| ≤ tile+radius, bf16 step
+    ≤0.5px at the largest splats); the kernels compute with tile-local
+    pixel coordinates in this mode (rel=True) — the math is translation-
+    invariant so gradients are unchanged up to bf16 rounding. Requires
+    `tile_start` to recover each instance's tile. The gaussian-id channel
+    is NOT representable in bf16 (ids ≥ 256 round) — bf16 mode therefore
+    requires the id-free "prefix" gradient fold.
     """
     N = packed.shape[0] - 1
     g = jnp.minimum(gid, N)
     attrs = packed[g].T  # (ATTR, I)
+    if bf16:
+        assert tile_start is not None and tiles_x > 0
+        I = gid.shape[0]
+        T = tile_start.shape[0]
+        # per-instance owning tile: tiny T-row scatter + I-length cummax
+        # (searchsorted is a serial binary search per query on TPU)
+        seed = jnp.zeros((I + 1,), jnp.int32)
+        tid = seed.at[tile_start].max(
+            jnp.arange(T, dtype=jnp.int32), mode="drop"
+        )[: I]
+        tid = jax.lax.cummax(tid)
+        ox = ((tid % tiles_x) * tile).astype(jnp.float32)
+        oy = ((tid // tiles_x) * tile).astype(jnp.float32)
+        attrs = jnp.concatenate(
+            [
+                (attrs[0:1] - ox[None, :]),
+                (attrs[1:2] - oy[None, :]),
+                attrs[2:],
+            ],
+            axis=0,
+        ).astype(jnp.bfloat16)
     # 2·CHUNK slack: the kernel's aligned fetches cover [base, base+2·CHUNK)
     # with base ≤ I rounded down to a CHUNK multiple
     return jnp.pad(attrs, ((0, 0), (0, 2 * CHUNK)))
@@ -201,14 +240,20 @@ def _block_channels(a, in_range):
     )
 
 
-def _tile_pixels(t, tiles_x, tile):
-    """(P, 1) pixel-center coordinates of tile t."""
+def _tile_pixels(t, tiles_x, tile, rel: bool = False):
+    """(P, 1) pixel-center coordinates of tile t.
+
+    `rel` (bf16-stream mode): TILE-LOCAL coordinates — the attribute stream
+    carries mean2d re-based to the tile origin (expand_to_instances), so the
+    kernel math stays translation-invariant."""
     P = tile * tile
-    oy = (t // tiles_x) * tile
-    ox = (t % tiles_x) * tile
     lin = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (lin % tile).astype(jnp.float32)
     py = (lin // tile).astype(jnp.float32)
+    if rel:
+        return px + jnp.float32(0.5), py + jnp.float32(0.5)
+    oy = (t // tiles_x) * tile
+    ox = (t % tiles_x) * tile
     return (
         px + (jnp.float32(0.5) + ox.astype(jnp.float32)),
         py + (jnp.float32(0.5) + oy.astype(jnp.float32)),
@@ -249,7 +294,8 @@ def _extract_window(buf2, off):
 
 def _start_input_pipeline(attrs_ref, buf, sem, win_start_ref):
     """Double-buffered window fetch: start b+1's DMA, wait for b's, return
-    the current block's (ATTR, CHUNK) attributes."""
+    the current block's (ATTR, CHUNK) attributes as f32 (the stream may be
+    stored bf16 — math always runs f32)."""
     b = pl.program_id(0)
     nb = pl.num_programs(0)
 
@@ -262,7 +308,11 @@ def _start_input_pipeline(attrs_ref, buf, sem, win_start_ref):
         _window_dma(attrs_ref, buf, sem, win_start_ref, (b + 1) % 2, b + 1).start()
 
     _window_dma(attrs_ref, buf, sem, win_start_ref, b % 2, b).wait()
-    return _extract_window(buf[b % 2], win_start_ref[b] % CHUNK)
+    # upcast BEFORE the rotate: Mosaic's tpu.dynamic_rotate has no bf16
+    # lowering; the DMA above already moved the half-width bytes
+    return _extract_window(
+        buf[b % 2].astype(jnp.float32), win_start_ref[b] % CHUNK
+    )
 
 
 def _tile_center(t, tiles_x, tile):
@@ -288,6 +338,7 @@ def _forward_kernel(
     tile: int,
     tiles_x: int,
     sentinel: float,
+    rel: bool = False,
 ):
     b = pl.program_id(0)
     P = tile * tile
@@ -311,7 +362,7 @@ def _forward_kernel(
 
     @pl.when(live_tile)
     def _():
-        pix_x, pix_y = _tile_pixels(t, tiles_x, tile)
+        pix_x, pix_y = _tile_pixels(t, tiles_x, tile, rel=rel)
         q = _block_geometry(a, nvalid, pix_x, pix_y)
         alpha, log_t = q["alpha"], q["log_t"]
 
@@ -357,7 +408,8 @@ def blend_tiles_pallas_fwd(
     num_blocks = num_blocks or tables.tile_of.shape[0]
 
     kernel = functools.partial(
-        _forward_kernel, tile=tile, tiles_x=tiles_x, sentinel=float(sentinel)
+        _forward_kernel, tile=tile, tiles_x=tiles_x, sentinel=float(sentinel),
+        rel=attrs.dtype == jnp.bfloat16,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -371,7 +423,7 @@ def blend_tiles_pallas_fwd(
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((2, ATTR, 2 * CHUNK), jnp.float32),
+            pltpu.VMEM((2, ATTR, 2 * CHUNK), attrs.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -401,7 +453,7 @@ def finalize_tile_planes(
 
 def blend_tiles_pallas(
     pre, binning, tiles_y: int, tiles_x: int, tile: int = 16, max_blocks: int = 0,
-    mm: bool = False, grad_reduce: str = "scatter",
+    mm: bool = False, grad_reduce: str = "scatter", bf16: bool = False,
 ):
     """Drop-in forward replacement for blend_jnp.blend_tiles (same output
     dict). Gradients flow through the custom VJP in pallas_vjp.py."""
@@ -423,6 +475,7 @@ def blend_tiles_pallas(
         max_blocks,
         mm,
         grad_reduce,
+        bf16,
     )
     planes = tiles_to_planes(tile_out, tiles_y, tiles_x, tile)
     planes["out_observe"] = observe[:N].astype(jnp.int32)

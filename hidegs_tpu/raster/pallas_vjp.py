@@ -67,6 +67,7 @@ def _passB_kernel(
     tiles_x: int,
     sentinel: float,
     mm: bool = False,
+    rel: bool = False,
 ):
     if mm:
         u_ref, d_ref, T_carry, R_carry, attr_buf, in_sem = rest
@@ -100,7 +101,7 @@ def _passB_kernel(
 
     @pl.when(live)
     def _():
-        pix_x, pix_y = _tile_pixels(t, tiles_x, tile)
+        pix_x, pix_y = _tile_pixels(t, tiles_x, tile, rel=rel)
         q = _block_geometry(a, nvalid, pix_x, pix_y)
         alpha, log_t = q["alpha"], q["log_t"]
         cum_excl = jnp.dot(log_t, _triu(True), preferred_element_type=jnp.float32)
@@ -144,7 +145,12 @@ def _passB_kernel(
             )  # (BASIS_K, CHUNK); rows: Σdp, Σx·dp, Σy·dp, Σx²dp, Σxy·dp, Σy²dp
             M0, Mx, My = M[0:1, :], M[1:2, :], M[2:3, :]
             Mxx, Mxy, Myy = M[3:4, :], M[4:5, :], M[5:6, :]
-            cx, cy = _tile_center(t, tiles_x, tile)
+            if rel:
+                # tile-local coords: the tile "center" is (tile/2, tile/2)
+                cx = jnp.float32(tile / 2)
+                cy = jnp.float32(tile / 2)
+            else:
+                cx, cy = _tile_center(t, tiles_x, tile)
             mxc = a[0:1, :] - cx
             myc = a[1:2, :] - cy
             op = a[8:9, :]
@@ -207,7 +213,8 @@ def blend_tiles_pallas_bwd(
     num_blocks = num_blocks or tables.tile_of.shape[0]
 
     kernelB = functools.partial(
-        _passB_kernel, tile=tile, tiles_x=tiles_x, sentinel=float(sentinel), mm=mm
+        _passB_kernel, tile=tile, tiles_x=tiles_x, sentinel=float(sentinel),
+        mm=mm, rel=attrs.dtype == jnp.bfloat16,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -225,7 +232,7 @@ def blend_tiles_pallas_bwd(
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((2, ATTR, 2 * CHUNK), jnp.float32),
+            pltpu.VMEM((2, ATTR, 2 * CHUNK), attrs.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -239,10 +246,11 @@ def blend_tiles_pallas_bwd(
 # ------------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def blend_packed(
     packed, gid, tile_start, tile_count, slot_s, owner, g_start,
     tiles_y, tiles_x, tile, max_blocks=0, mm=False, grad_reduce="scatter",
+    bf16=False,
 ):
     """(N+1, ATTR) per-gaussian attribute rows + sorted instance ids/ranges →
     ((T, P, OUT_CH) tile planes, (N+1,) per-gaussian observe counts).
@@ -271,13 +279,14 @@ def blend_packed(
     """
     out, _res = _blend_packed_fwd(
         packed, gid, tile_start, tile_count, slot_s, owner, g_start,
-        tiles_y, tiles_x, tile, max_blocks, mm, grad_reduce,
+        tiles_y, tiles_x, tile, max_blocks, mm, grad_reduce, bf16,
     )
     return out
 
 
 def _tables_and_attrs(
-    packed, gid, tile_start, tile_count, tiles_y, tiles_x, max_blocks=0
+    packed, gid, tile_start, tile_count, tiles_y, tiles_x, max_blocks=0,
+    tile=16, bf16=False,
 ):
     N = packed.shape[0] - 1
     I = gid.shape[0]
@@ -285,7 +294,10 @@ def _tables_and_attrs(
     worst = (I + num_tiles * CHUNK) // CHUNK
     num_blocks = min(max_blocks, worst) if max_blocks else worst
     tables = window_tables(tile_start, tile_count, num_blocks, I)
-    attrs = expand_to_instances(packed, gid)
+    attrs = expand_to_instances(
+        packed, gid, tile_start=tile_start, tiles_x=tiles_x, tile=tile,
+        bf16=bf16,
+    )
     return N, num_blocks, tables, attrs
 
 
@@ -369,9 +381,15 @@ def _prefix_fold(rows_exp, g_start, block: int = 512):
 def _blend_packed_fwd(
     packed, gid, tile_start, tile_count, slot_s, owner, g_start,
     tiles_y, tiles_x, tile, max_blocks=0, mm=False, grad_reduce="scatter",
+    bf16=False,
 ):
+    if bf16:
+        # the gaussian-id channel does not survive bf16 (ids ≥ 256 round);
+        # the prefix fold routes gradients positionally without ids
+        assert grad_reduce == "prefix", "bf16 stream requires grad_reduce='prefix'"
     N, num_blocks, tables, attrs = _tables_and_attrs(
-        packed, gid, tile_start, tile_count, tiles_y, tiles_x, max_blocks
+        packed, gid, tile_start, tile_count, tiles_y, tiles_x, max_blocks,
+        tile=tile, bf16=bf16,
     )
     # mm only affects the backward kernel's reduction strategy; the forward is
     # identical either way.
@@ -404,7 +422,9 @@ def _blend_packed_fwd(
     )
 
 
-def _blend_packed_bwd(tiles_y, tiles_x, tile, max_blocks, mm, grad_reduce, res, cts):
+def _blend_packed_bwd(
+    tiles_y, tiles_x, tile, max_blocks, mm, grad_reduce, bf16, res, cts
+):
     g_tiles, _g_observe = cts  # observe counts carry no gradient
     attrs, tables, row_of_slot, g_start, fwd_out, N, num_blocks = res
     col = jnp.arange(OUT_CH)

@@ -231,3 +231,41 @@ def test_grad_reduce_prefix_matches_scatter(scenario, max_instances, blocks_frac
         a, b = np.array(a), np.array(b)
         denom = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / denom, a / denom, atol=5e-5, err_msg=name)
+
+
+@pytest.mark.slow
+def test_bf16_stream_forward_and_grads_close():
+    """bf16 attribute stream (tile-relative mean2d, f32 math) must track the
+    f32 pallas path within bf16 rounding: ~0.4% relative on conic/opacity →
+    percent-level image/grad agreement. Exactness is NOT expected."""
+    scene = make_toy_gaussians(100, seed=3)
+    cam = ring_camera(0, height=32, width=32)
+    target = jnp.zeros((3, 32, 32))
+
+    def loss_fn(bf16):
+        cfg = RasterConfig(
+            backend="pallas", max_instances=1 << 13, tile=16,
+            mm_geom=True, bf16_stream=bf16, grad_reduce="prefix",
+        )
+
+        def f(means, scales, quats, opac, shs):
+            out = render(means, scales, quats, opac, shs, cam, config=cfg)
+            return out["render"], jnp.mean((out["render"] - target) ** 2)
+
+        return f
+
+    args = tuple(scene)
+    with pltpu.force_tpu_interpret_mode():
+        img32, _ = loss_fn(False)(*args)
+        img16, _ = loss_fn(True)(*args)
+        g32 = jax.grad(lambda *a: loss_fn(False)(*a)[1], argnums=(0, 3))(*args)
+        g16 = jax.grad(lambda *a: loss_fn(True)(*a)[1], argnums=(0, 3))(*args)
+    img32, img16 = np.array(img32), np.array(img16)
+    assert np.isfinite(img16).all()
+    # image within ~2% of dynamic range
+    assert np.abs(img16 - img32).max() < 0.03, np.abs(img16 - img32).max()
+    for name, a, b in zip(["means", "opac"], g32, g16):
+        a, b = np.array(a), np.array(b)
+        assert np.isfinite(b).all(), name
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=5e-2, err_msg=name)
