@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--out", default="docs/largescene_r2.json")
     ap.add_argument("--workers", type=int, default=1,
                     help="concurrent per-chunk training subprocesses")
+    ap.add_argument("--coarse-iterations", type=int, default=0,
+                    help="coarse whole-scene model first; its border annulus "
+                         "becomes each chunk's frozen scaffold and the "
+                         "chunk-AABB cull ships ON (reference pairing)")
     args = ap.parse_args()
 
     if args.fresh:
@@ -80,6 +84,7 @@ def main():
         iterations=args.iterations, post_opt_iterations=args.post_opt,
         capacity=args.capacity, max_instances=1 << 19, backend="pallas",
         log_every=500, workers=args.workers,
+        coarse_iterations=args.coarse_iterations,
     )
     wall = time.time() - t0
 
@@ -93,6 +98,7 @@ def main():
             "chunk_capacity": args.capacity,
             "iterations_per_chunk": args.iterations,
             "post_opt_iterations": args.post_opt,
+            "coarse_iterations": args.coarse_iterations,
         },
         "chunks": report["chunks"],
         "merged_points": report["num_points"],

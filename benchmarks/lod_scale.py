@@ -47,17 +47,30 @@ def main():
     args = ap.parse_args()
 
     t0 = time.time()
-    scene = make_uav_gaussians(n_ground=args.n, n_structs=128, seed=1,
-                               extent_xy=30.0)
-    P = int(scene.means3d.shape[0])
-    print(f"building hierarchy over {P} leaves (native builder)...", flush=True)
-    h = build_hierarchy(
-        np.asarray(scene.means3d), np.asarray(scene.quats),
-        np.asarray(scene.scales), np.asarray(scene.opacities),
-        np.asarray(scene.shs),
-    )
-    print(f"hierarchy: {h.num_points} points, {h.num_nodes} nodes "
-          f"({time.time()-t0:.0f}s)", flush=True)
+    cache = f"/tmp/lod_scale_hier_{args.n}.hier"
+    if os.path.exists(cache):
+        from hidegs_tpu.hier.io import read_hier
+
+        h = read_hier(cache)
+        P = int(h.num_points)
+        print(f"hierarchy from cache {cache}: {h.num_points} points, "
+              f"{h.num_nodes} nodes", flush=True)
+    else:
+        scene = make_uav_gaussians(n_ground=args.n, n_structs=128, seed=1,
+                                   extent_xy=30.0)
+        P = int(scene.means3d.shape[0])
+        print(f"building hierarchy over {P} leaves (native builder)...",
+              flush=True)
+        h = build_hierarchy(
+            np.asarray(scene.means3d), np.asarray(scene.quats),
+            np.asarray(scene.scales), np.asarray(scene.opacities),
+            np.asarray(scene.shs),
+        )
+        from hidegs_tpu.hier.io import write_hier
+
+        write_hier(cache, h)
+        print(f"hierarchy: {h.num_points} points, {h.num_nodes} nodes "
+              f"({time.time()-t0:.0f}s) → cached {cache}", flush=True)
 
     cam = nadir_grid_camera(0, 0, 1, 1, extent_xy=30.0, altitude=22.0,
                             height=args.res, width=args.res)
