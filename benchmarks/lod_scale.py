@@ -84,13 +84,21 @@ def main():
                         max_instances=round_budget(1 << 21),
                         depth_sort_bits=-1)
 
+    def _force(out):
+        # fetch ONE element: on the tunneled backend block_until_ready can
+        # return before device completion (docs/BENCHMARKS.md r5 finding #2);
+        # a value fetch is the only reliable completion barrier. The ~20 ms
+        # fetch round trip is part of a real interactive frame anyway.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(leaf.reshape(-1)[0])
+
     def timeit(fn, *a, iters=args.iters):
         out = fn(*a)
-        jax.block_until_ready(out)
+        _force(out)
         tt = time.perf_counter()
         for _ in range(iters):
             out = fn(*a)
-        jax.block_until_ready(out)
+            _force(out)
         return out, (time.perf_counter() - tt) / iters * 1e3
 
     # hierarchy arrays ride as jit ARGUMENTS: closed-over device arrays
