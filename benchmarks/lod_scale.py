@@ -105,12 +105,15 @@ def main():
     # become inline HLO constants, and at 2M nodes the ~470 MB attribute
     # constants overflow the tunneled chip's remote-compile request (HTTP
     # 413) — and would bloat any compile cache either way
-    from hidegs_tpu.hier.lod import tau_to_target_size
+    from hidegs_tpu.hier.lod import expand_packed, pack_hierarchy, tau_to_target_size
+
+    # pack once per hierarchy (r5: gather-free select; see lod.PackedHier)
+    packed = jax.block_until_ready(pack_hierarchy(nodes, boxes))
 
     # --taus are PIXEL granularities (reference convention); 0 = leaf cut
     cut_fn = jax.jit(
-        lambda nodes_, boxes_, tau: expand_to_size(
-            nodes_, boxes_, tau, cam.camera_center, budget=budget, num_points=P
+        lambda packed_, tau: expand_packed(
+            packed_, tau, cam.camera_center, budget=budget, num_points=P
         )
     )
     to_target = lambda tpx: 0.0 if tpx == 0 else tau_to_target_size(tpx, float(cam.fx))
@@ -130,7 +133,7 @@ def main():
 
     rows = []
     for tau in args.taus:
-        cut, cut_ms = timeit(cut_fn, nodes, boxes, jnp.float32(to_target(tau)))
+        cut, cut_ms = timeit(cut_fn, packed, jnp.float32(to_target(tau)))
         n_cut = int(cut.valid.sum())
         _, interp_ms = timeit(interp_fn, cut, *arrays)
         img, render_ms = timeit(render_fn, cut, *arrays)

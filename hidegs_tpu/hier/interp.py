@@ -173,6 +173,7 @@ class AdaptiveHierRenderer:
         self.recount_dist = recount_frac * max(diag, 1e-6)
         self.recount_every = int(recount_every)
         self._count_cache = None
+        self._packed = None  # built lazily on first frame (pack_hierarchy)
         self.backend = backend
         self.tile = tile
         self.slack = slack
@@ -193,10 +194,19 @@ class AdaptiveHierRenderer:
         import numpy as np
         import jax.numpy as jnp
 
-        from hidegs_tpu.hier.lod import cut_size, expand_to_size, tau_to_target_size
+        from hidegs_tpu.hier.lod import (
+            cut_size_packed, expand_packed, pack_hierarchy, tau_to_target_size,
+        )
         from hidegs_tpu.raster.api import RasterConfig, round_budget
 
         import jax
+
+        # pack once per hierarchy: the packed layout makes the per-frame
+        # count pass gather-free and the expansion a single row gather
+        if getattr(self, "_packed", None) is None:
+            self._packed = jax.block_until_ready(
+                pack_hierarchy(self.nodes, self.boxes)
+            )
 
         vp_np = np.asarray(cam.camera_center)
         vp = jnp.asarray(vp_np)
@@ -215,7 +225,7 @@ class AdaptiveHierRenderer:
             c["frames"] += 1
             n_cut = c["n_cut"]
         else:
-            n_cut = int(cut_size(self.nodes, self.boxes, jnp.float32(target), vp))
+            n_cut = int(cut_size_packed(self._packed, jnp.float32(target), vp))
             self._count_cache = {
                 "tau": tau_px, "vp": vp_np, "frames": 0, "n_cut": n_cut
             }
@@ -230,8 +240,8 @@ class AdaptiveHierRenderer:
         if want > self._max_inst or want * 4 <= self._max_inst:
             self._max_inst = want
         for _ in range(5):
-            cut = expand_to_size(
-                self.nodes, self.boxes, jnp.float32(target), vp,
+            cut = expand_packed(
+                self._packed, jnp.float32(target), vp,
                 budget=budget, num_points=self.num_points,
             )
             config = RasterConfig(

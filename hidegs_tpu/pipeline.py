@@ -77,7 +77,10 @@ def train_one_chunk(
         iterations=iterations,
         densify_from_iter=max(iterations // 10, 50),
         densify_until_iter=int(iterations * 0.8),
-        densification_interval=max(iterations // 10, 50),
+        # //20 (not //10): long chunk schedules (≥5k, VERDICT r4 item 6) get
+        # ~14 densify events so the chunk actually reaches its capacity;
+        # //10 left ~7 events and r3 chunks plateaued at ~50k of 65k rows
+        densification_interval=max(iterations // 20, 50),
         opacity_reset_interval=10 * iterations,
         freq_warmup_iterations=max(iterations // 10, 20),
         single_view_weight_from_iter=max(iterations // 3, 100),
@@ -372,7 +375,7 @@ def evaluate_lod(
     from hidegs_tpu.data.scene import load_scene
     from hidegs_tpu.hier.interp import render_hierarchy
     from hidegs_tpu.hier.io import read_hier
-    from hidegs_tpu.hier.lod import expand_to_size
+    from hidegs_tpu.hier.lod import expand_packed, pack_hierarchy
     from hidegs_tpu.raster.api import RasterConfig
     from hidegs_tpu.train.losses import psnr
 
@@ -383,7 +386,7 @@ def evaluate_lod(
         jnp.asarray(h.pos), jnp.exp(jnp.asarray(h.scale)),
         jnp.asarray(h.rot), jnp.asarray(h.alpha), jnp.asarray(h.shs),
     )
-    nodes, boxes = jnp.asarray(h.nodes), jnp.asarray(h.boxes)
+    packed = pack_hierarchy(jnp.asarray(h.nodes), jnp.asarray(h.boxes))
     scene = load_scene(source_path, resolution=resolution, cache_all=False)
     n_views = min(len(scene.train_cameras), max_views)
     cfg = RasterConfig(backend=backend, max_instances=max_instances)
@@ -397,8 +400,8 @@ def evaluate_lod(
 
             # taus are PIXEL granularities (reference convention); 0 = leaves
             target = 0.0 if tau == 0 else tau_to_target_size(tau, float(cp.fx))
-            cut = expand_to_size(
-                nodes, boxes, target, cp.camera_center, budget=budget,
+            cut = expand_packed(
+                packed, target, cp.camera_center, budget=budget,
                 num_points=P,
             )
             out = render_hierarchy(cut, *arrays, cp, config=cfg)

@@ -492,3 +492,71 @@ def test_adaptive_renderer_count_cache():
     assert r._budget >= 3000
     img = np.asarray(out["render"])
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_expand_packed_matches_numpy_oracle():
+    """The r5 packed select (pack_hierarchy + expand_packed) must reproduce
+    markNodesForSize/computeTsIndexed semantics exactly; checked against a
+    direct numpy transcription (runtime_switching.cu:403-478) at several
+    viewpoints and granularities."""
+    from hidegs_tpu.hier.lod import expand_packed, pack_hierarchy
+
+    pos, rot, scale, alpha, shs = toy_leaves(96, seed=9)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    nodes, boxes = np.asarray(h.nodes), np.asarray(h.boxes)
+    N = len(nodes)
+    packed = pack_hierarchy(jnp.asarray(nodes), jnp.asarray(boxes))
+    BIG = 3.4e38
+
+    def np_size(vp):
+        mn, mx, g = boxes[:, 0, :3], boxes[:, 1, :3], boxes[:, 0, 3]
+        closest = np.clip(vp[None], mn, mx)
+        d = np.linalg.norm(closest - vp[None], axis=-1)
+        inside = ((vp >= mn) & (vp <= mx)).all(-1)
+        return np.where(inside, BIG, g / np.maximum(d, 1e-12))
+
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        vp = rng.normal(size=3).astype(np.float32) * (2.0 + trial)
+        target = float(10.0 ** rng.uniform(-6, 1))
+        size = np_size(vp)
+        par = nodes[:, hio.PARENT]
+        has_p = par >= 0
+        psz = np.where(has_p, size[np.maximum(par, 0)], BIG)
+        count = np.where(
+            size >= target, nodes[:, hio.COUNT_LEAFS],
+            np.where(
+                has_p & (psz >= target),
+                nodes[:, hio.COUNT_LEAFS]
+                + np.where(nodes[:, hio.DEPTH] != 0, nodes[:, hio.COUNT_MERGED], 0),
+                0,
+            ),
+        )
+        want_idx, want_par, want_ts = [], [], []
+        for n in range(N):
+            for k in range(count[n]):
+                g = nodes[n, hio.START] + k
+                pg = nodes[par[n], hio.START] if has_p[n] else g
+                if (not has_p[n]) or psz[n] > 2.0 * target:
+                    t = 1.0
+                else:
+                    sv = max(0.5 * psz[n], size[n])
+                    diff = psz[n] - sv
+                    td = max(0.0, target - sv)
+                    t = 1.0 if diff <= 0 else max(1.0 - td / max(diff, 1e-20), 0.0)
+                want_idx.append(g)
+                want_par.append(pg)
+                want_ts.append(t)
+
+        cut = expand_packed(
+            packed, jnp.float32(target), jnp.asarray(vp), budget=256,
+            num_points=h.num_points,
+        )
+        got_v = np.asarray(cut.valid)
+        assert int(cut.num_selected) == len(want_idx)
+        np.testing.assert_array_equal(
+            np.asarray(cut.render_indices)[got_v], np.array(want_idx))
+        np.testing.assert_array_equal(
+            np.asarray(cut.parent_indices)[got_v], np.array(want_par))
+        np.testing.assert_allclose(
+            np.asarray(cut.ts)[got_v], np.array(want_ts), rtol=1e-5, atol=1e-6)
