@@ -12,8 +12,10 @@ autodiff of these gathers/lerps.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from hidegs_tpu.hier.lod import HierCut, hierarchy_opacity_correction
@@ -131,6 +133,51 @@ def render_hierarchy(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "budget", "num_points", "skybox_count", "config",
+        "active_sh_degree", "render_geo",
+    ),
+)
+def fused_lod_frame(
+    packed,
+    target_size,
+    cam,
+    means3d, scales, quats, opacities, shs,
+    budget: int,
+    num_points: int,
+    skybox_count: int = 0,
+    background=None,
+    config=None,
+    active_sh_degree: int = 3,
+    render_geo: bool = False,
+):
+    """Cut select + interpolation + raster as ONE jit dispatch.
+
+    On the tunneled chip every dispatch costs a ~20 ms host round trip, so
+    the 2-dispatch frame (expand, then interp+render) pays ~40 ms of pure
+    latency before any device work. The reference's interactive loop has the
+    same shape — one CUDA graph launch per frame (render_hierarchy flow,
+    runtime_switching.cu + forward.cu in a single stream)."""
+    from hidegs_tpu.hier.lod import expand_packed
+
+    cut = expand_packed(
+        packed, target_size, cam.camera_center, budget=budget,
+        num_points=num_points,
+    )
+    out = dict(
+        render_hierarchy(
+            cut, means3d, scales, quats, opacities, shs, cam,
+            skybox_count=skybox_count, background=background,
+            render_geo=render_geo, config=config,
+            active_sh_degree=active_sh_degree,
+        )
+    )
+    out["num_selected"] = cut.num_selected
+    return out
+
+
 class AdaptiveHierRenderer:
     """τ-aware hierarchy renderer: fits the cut/interp/raster budgets to the
     ACTUAL cut size per (viewpoint, τ) instead of riding worst-case buffers.
@@ -239,18 +286,19 @@ class AdaptiveHierRenderer:
         want = round_budget(max(2 * (budget + self.skybox_count), 1 << 14))
         if want > self._max_inst or want * 4 <= self._max_inst:
             self._max_inst = want
+        cp = cam.cam_params() if hasattr(cam, "cam_params") else cam
         for _ in range(5):
-            cut = expand_packed(
-                self._packed, jnp.float32(target), vp,
-                budget=budget, num_points=self.num_points,
-            )
             config = RasterConfig(
                 backend=self.backend, tile=self.tile, depth_sort_bits=-1,
                 max_instances=self._max_inst,
             )
-            out = render_hierarchy(
-                cut, *self.arrays, cam, skybox_count=self.skybox_count,
-                background=background, render_geo=render_geo, config=config,
+            # select + interp + raster as ONE dispatch (fused_lod_frame):
+            # each extra dispatch is a ~20 ms tunnel round trip
+            out = fused_lod_frame(
+                self._packed, jnp.float32(target), cp, *self.arrays,
+                budget=budget, num_points=self.num_points,
+                skybox_count=self.skybox_count, background=background,
+                config=config, render_geo=render_geo,
                 active_sh_degree=active_sh_degree,
             )
             # ONE fetch for all three counters — separate int() calls each
@@ -258,7 +306,7 @@ class AdaptiveHierRenderer:
             n_sel, overflow, n_inst = (
                 int(x)
                 for x in jax.device_get(
-                    (cut.num_selected, out["overflow"], out["num_instances"])
+                    (out["num_selected"], out["overflow"], out["num_instances"])
                 )
             )
             if n_sel > budget:
