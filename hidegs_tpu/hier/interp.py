@@ -49,16 +49,33 @@ def interpolate_cut(
     pi = jnp.minimum(cut.parent_indices, P - 1)
     t = cut.ts[:, None]
 
-    m = t * means3d[ri] + (1 - t) * means3d[pi]
-    s = t * scales[ri] + (1 - t) * scales[pi]
-    sh = t[..., None] * shs[ri] + (1 - t[..., None]) * shs[pi]
+    # ONE wide row-gather per index set instead of five narrow per-field
+    # gathers: a (P,3)/(P,4) gather uses 3-4 of 128 lanes and cost ~7 ms per
+    # gather per 1M rows (the compact_visible finding, raster/preprocess.py);
+    # concatenating the attributes first makes each gather 59 lanes wide.
+    # The concat itself is one sequential HBM copy (~2 ms/2M rows) and XLA
+    # hoists it out of the per-frame loop when the arrays are jit constants.
+    sh_dim = shs.shape[1] * shs.shape[2]
+    packed = jnp.concatenate(
+        [means3d, scales, quats, opacities[:, None],
+         shs.reshape(P, sh_dim)], axis=-1,
+    )
+    row_c = packed[ri]
+    row_p = packed[pi]
 
-    rot_c = quats[ri]
-    rot_p = quats[pi]
+    m = t * row_c[:, 0:3] + (1 - t) * row_p[:, 0:3]
+    s = t * row_c[:, 3:6] + (1 - t) * row_p[:, 3:6]
+    sh = (
+        t[..., None] * row_c[:, 11:11 + sh_dim].reshape(-1, *shs.shape[1:])
+        + (1 - t[..., None]) * row_p[:, 11:11 + sh_dim].reshape(-1, *shs.shape[1:])
+    )
+
+    rot_c = row_c[:, 6:10]
+    rot_p = row_p[:, 6:10]
     sign = jnp.where(jnp.sum(rot_c * rot_p, axis=-1, keepdims=True) < 0, -1.0, 1.0)
     q = t * rot_c + (1 - t) * rot_p * sign
 
-    op = cut.ts * opacities[ri] + (1 - cut.ts) * opacities[pi]
+    op = cut.ts * row_c[:, 10] + (1 - cut.ts) * row_p[:, 10]
     op = hierarchy_opacity_correction(op, cut.ts, cut.kids)
     op = jnp.where(cut.valid, op, 0.0)
 
