@@ -193,9 +193,15 @@ def bin_gaussians(
     # zero-touched gaussians share their successor's start and lose the max,
     # which is exactly the ownership rule we want.
     slots = jnp.arange(max_instances, dtype=jnp.int32)
-    seed = jnp.zeros((max_instances,), jnp.int32)
-    owner = seed.at[jnp.where(touched > 0, starts, max_instances)].max(
-        jnp.arange(N, dtype=jnp.int32), mode="drop"
+    rows_n = jnp.arange(N, dtype=jnp.int32)
+    # destinations are all-unique: starts strictly increase over touched>0
+    # gaussians, and zero-touched gaussians land on DISTINCT out-of-bounds
+    # slots — unique_indices lets XLA emit the scatter fully parallel
+    # instead of the row-serial general path (the compact_visible idiom,
+    # raster/preprocess.py; same fix as hier/lod.expand_packed)
+    dest = jnp.where(touched > 0, starts, max_instances + rows_n)
+    owner = jnp.zeros((max_instances,), jnp.int32).at[dest].set(
+        rows_n, mode="drop", unique_indices=True
     )
     g = jax.lax.cummax(owner)
     valid = slots < total
