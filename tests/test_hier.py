@@ -560,3 +560,34 @@ def test_expand_packed_matches_numpy_oracle():
             np.asarray(cut.parent_indices)[got_v], np.array(want_par))
         np.testing.assert_allclose(
             np.asarray(cut.ts)[got_v], np.array(want_ts), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_lod_frame_matches_separate_calls():
+    """fused_lod_frame (one dispatch) must equal expand_packed +
+    render_hierarchy called separately."""
+    import jax
+
+    from hidegs_tpu.hier.interp import fused_lod_frame
+    from hidegs_tpu.hier.lod import expand_packed, pack_hierarchy
+
+    pos, rot, scale, alpha, shs = toy_leaves(64, seed=11)
+    h = _build_hierarchy_py(pos, rot, scale, alpha, shs)
+    cam = ring_camera(1, height=64, width=64)
+    arrays = (
+        jnp.asarray(h.pos), jnp.exp(jnp.asarray(h.scale)), jnp.asarray(h.rot),
+        jnp.asarray(h.alpha), jnp.asarray(h.shs),
+    )
+    packed = pack_hierarchy(jnp.asarray(h.nodes), jnp.asarray(h.boxes))
+    cfg = RasterConfig(backend="jnp", max_instances=1 << 12)
+    target = jnp.float32(0.02)
+
+    fused = fused_lod_frame(
+        packed, target, cam, *arrays, budget=256, num_points=h.num_points,
+        config=cfg,
+    )
+    cut = expand_packed(packed, target, cam.camera_center, budget=256,
+                        num_points=h.num_points)
+    sep = render_hierarchy(cut, *arrays, cam, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(fused["render"]), np.asarray(sep["render"]), atol=1e-5)
+    assert int(fused["num_selected"]) == int(cut.num_selected)
